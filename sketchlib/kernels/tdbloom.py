@@ -1,0 +1,174 @@
+"""Time-decaying Bloom filter kernel — event-time rebuild of ``src/tdbloom.c``
+(735 LoC).
+
+The reference stamps each element's k cells with a wall-clock tick relative
+to filter creation (CLOCK_MONOTONIC, src/tdbloom.c:58-64), stored wrapped
+1-based: ``tick = ((now - start) % max_time + max_time) % max_time + 1``
+(src/tdbloom.c:293); lookup treats a cell fresh iff
+``((now_tick - cell + max_time) % max_time) <= timeout`` (src/tdbloom.c:357-358)
+with a whole-filter guard ``now - start > max_time → absent``
+(src/tdbloom.c:342).
+
+Deliberate deviation (SURVEY.md §7 hard-part 2): ticks come from the data's
+``ts`` column (epoch seconds) relative to ``spec.start_time``, and probes take
+an explicit as-of time ``T`` — results are a pure function of (data, spec, T),
+deterministic and replayable on a cluster.  The same modular formulas are
+reproduced on the wrapped export; in memory we keep the *unwrapped* relative
+tick in int64 (0 = empty, else ``(ts - start_time) + 1``), which makes
+
+    merge = element-wise max  (freshest-tick-wins)
+
+exactly associative/commutative — the C library has no tdbloom merge at all
+(SURVEY.md §2.4 note), this is the distributed extension.  ``compact_state()``
+exports the C-width wrapped array (1/2/4/8-byte cells per the reference's
+width auto-pick, src/tdbloom.c:92-102) for parity checks and compact storage.
+
+The reference's save/load are broken in C (header omits max_time/timeout and
+the success path returns an error, src/tdbloom.c:556-560, :651-652 — verified
+in SURVEY.md §2.4); we do not reproduce that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sketchlib import mmh3
+from sketchlib.specs import TdBloomSpec
+
+
+class TdBloomFilter:
+    spec_cls = TdBloomSpec
+
+    def __init__(self, spec: TdBloomSpec, ticks: np.ndarray | None = None):
+        self.spec = spec
+        self.m = spec.m
+        self.k = spec.k
+        if ticks is None:
+            ticks = np.zeros(self.m, dtype=np.int64)
+        assert ticks.size == self.m
+        self.ticks = ticks  # unwrapped: 0 empty, else (ts - start_time) + 1
+
+    # -- time helpers -----------------------------------------------------
+    def _rel(self, ts_sec: np.ndarray) -> np.ndarray:
+        r = np.asarray(ts_sec, dtype=np.int64) - np.int64(self.spec.start_time)
+        if (r < 0).any():
+            raise ValueError("ts earlier than spec.start_time")
+        return r
+
+    # -- ingest -----------------------------------------------------------
+    def update(self, data: np.ndarray, offsets: np.ndarray, ts_sec: np.ndarray) -> None:
+        """Stamp the k cells of each element with its event-time tick;
+        freshest write wins per cell (tdbloom_add, src/tdbloom.c:289-306 —
+        there last-writer-wins equals freshest because wall clock is
+        monotone; with event time we take max explicitly)."""
+        pos = mmh3.positions(data, offsets, self.k, self.m, self.spec.seed)
+        tick = self._rel(ts_sec) + 1
+        np.maximum.at(self.ticks, pos.ravel(), np.repeat(tick, self.k))
+
+    def update_strings(self, keys, ts_sec) -> None:
+        data, off = mmh3.pack_strings(keys)
+        self.update(data, off, np.asarray(ts_sec, dtype=np.int64))
+
+    # -- probe (as-of T) --------------------------------------------------
+    def _cells(self, data, offsets) -> np.ndarray:
+        pos = mmh3.positions(data, offsets, self.k, self.m, self.spec.seed)
+        return self.ticks[pos]
+
+    def contains(self, data, offsets, as_of: int) -> np.ndarray:
+        """All k cells nonzero AND within ``timeout`` of ``as_of``
+        (tdbloom_lookup, src/tdbloom.c:336-364). Mirrors the whole-filter
+        age guard (:342): if as_of - start_time > max_time, everything is
+        reported absent."""
+        n = len(offsets) - 1
+        T = int(as_of) - self.spec.start_time
+        if T > self.spec.max_time:
+            return np.zeros(n, dtype=bool)
+        cells = self._cells(data, offsets)
+        age = np.int64(T) - (cells - 1)
+        fresh = (cells > 0) & (age >= 0) & (age <= self.spec.timeout)
+        return fresh.all(axis=1)
+
+    def contains_strings(self, keys, as_of: int) -> np.ndarray:
+        return self.contains(*mmh3.pack_strings(keys), as_of=as_of)
+
+    def has_expired(self, data, offsets, as_of: int) -> np.ndarray:
+        """Element was present but is now stale: all k cells nonzero, any
+        stale (tdbloom_has_expired, src/tdbloom.c:399-424)."""
+        cells = self._cells(data, offsets)
+        T = int(as_of) - self.spec.start_time
+        age = np.int64(T) - (cells - 1)
+        nonzero = (cells > 0).all(axis=1)
+        stale = ((age < 0) | (age > self.spec.timeout)) & (cells > 0)
+        return nonzero & stale.any(axis=1)
+
+    def last_access_time(self, data, offsets) -> np.ndarray:
+        """Epoch seconds of the freshest consistent stamp: min over the k
+        cells (an element's own stamp is the min; larger values are
+        collisions from fresher elements).  Implements the reference's
+        declared-but-never-defined ``tdbloom_get_last_access_time``
+        (src/tdbloom.h:117-151).  Returns -1 where absent."""
+        cells = self._cells(data, offsets)
+        mn = cells.min(axis=1)
+        out = np.where(mn > 0, mn - 1 + self.spec.start_time, -1)
+        return out.astype(np.int64)
+
+    def was_active_within(self, data, offsets, start: int, end: int) -> np.ndarray:
+        """Declared-only in the reference header; natural here: last access
+        ∈ [start, end]."""
+        la = self.last_access_time(data, offsets)
+        return (la >= start) & (la <= end)
+
+    # -- maintenance ------------------------------------------------------
+    def count_expired(self, as_of: int) -> int:
+        """Stale nonzero cells (tdbloom_count_expired, src/tdbloom.c:219-240)."""
+        T = int(as_of) - self.spec.start_time
+        age = np.int64(T) - (self.ticks - 1)
+        return int(np.count_nonzero((self.ticks > 0) & ((age < 0) | (age > self.spec.timeout))))
+
+    def clear_expired(self, as_of: int) -> int:
+        """Zero stale cells, return reaped count (tdbloom_clear_expired,
+        src/tdbloom.c:179-207). Run at checkpoint compaction."""
+        T = int(as_of) - self.spec.start_time
+        age = np.int64(T) - (self.ticks - 1)
+        stale = (self.ticks > 0) & ((age < 0) | (age > self.spec.timeout))
+        n = int(np.count_nonzero(stale))
+        self.ticks[stale] = 0
+        return n
+
+    def saturation(self, as_of: int) -> float:
+        """% of cells live — nonzero and fresh (src/tdbloom.c:255-276)."""
+        T = int(as_of) - self.spec.start_time
+        age = np.int64(T) - (self.ticks - 1)
+        live = (self.ticks > 0) & (age >= 0) & (age <= self.spec.timeout)
+        return 100.0 * int(np.count_nonzero(live)) / self.m
+
+    def clear(self) -> None:
+        self.ticks[:] = 0
+
+    # -- algebra ----------------------------------------------------------
+    def merge(self, other: "TdBloomFilter") -> "TdBloomFilter":
+        """Freshest-tick-wins: element-wise max on unwrapped ticks —
+        associative/commutative by construction (SURVEY.md §2.4 note)."""
+        if not self.spec.compatible(other.spec):
+            raise ValueError("incompatible tdbloom filters")
+        np.maximum(self.ticks, other.ticks, out=self.ticks)
+        return self
+
+    # -- serde ------------------------------------------------------------
+    def serialize(self) -> bytes:
+        return self.ticks.tobytes()
+
+    @classmethod
+    def deserialize(cls, spec: TdBloomSpec, blob: bytes) -> "TdBloomFilter":
+        return cls(spec, np.frombuffer(blob, dtype=np.int64).copy())
+
+    def compact_state(self) -> np.ndarray:
+        """The C-parity wrapped array: dtype from the reference's width
+        auto-pick, values ``((tick-1) % max_time) + 1`` (src/tdbloom.c:293),
+        0 where empty."""
+        wrapped = np.where(
+            self.ticks > 0,
+            ((self.ticks - 1) % np.int64(self.spec.max_time)) + 1,
+            0,
+        )
+        return wrapped.astype(self.spec.dtype)
