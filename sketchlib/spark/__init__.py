@@ -1,0 +1,17 @@
+"""Spark layer: distributed sketch build / merge / probe over DataFrames.
+
+The lifecycle (SURVEY.md §3.4):
+
+1. **build** — ``mapInArrow`` over the (column-pruned) input: each partition
+   folds its Arrow batches into one local kernel and emits a single
+   ``(state, rows, ...)`` row.  One Arrow crossing, zero per-row Python.
+2. **exchange/merge** — the few small partial rows are tree-combined
+   Spark-side when there are many partitions, then folded on the driver.
+   All merges are the kernels' associative ops.
+3. **probe** — the merged state is broadcast; vectorized pandas UDFs flag /
+   count / estimate per row of any DataFrame.
+"""
+
+from sketchlib.spark.session import get_spark
+from sketchlib.spark.agg import build_sketch, sketch_partials
+from sketchlib.spark import probe  # noqa: F401

@@ -1,0 +1,481 @@
+"""Query surface mirroring SURVEY.md §2's operator inventory, exposed through
+the driver contract (__spark_entry__.py): each query is
+``(spark, sf_dir) -> DataFrame`` with an ANSI-SQL duckdb oracle.
+
+Sketch queries are made hash-comparable by construction: the DataFrame
+carries (a) exact values computed relationally in Spark — which the oracle
+recomputes in SQL — and (b) boolean bound-checks the sketch estimate must
+satisfy (never-undercount, ≤ εN, ≤ 2%, no-false-negative...), which the
+oracle emits as literal TRUE.  Everything is deterministic: fixed data,
+fixed hash seeds, event-time as-of from max(ts).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from sketchlib.spark import probe
+from sketchlib.spark.agg import build_sketch
+from sketchlib.specs import (
+    BloomSpec,
+    CBloomSpec,
+    CmsSpec,
+    CuckooSpec,
+    HllSpec,
+    KllSpec,
+    TdBloomSpec,
+    TdCBloomSpec,
+    TDigestSpec,
+)
+
+QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _ts_bounds(events: DataFrame) -> tuple[int, int]:
+    r = events.select(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    return int(r[0]), int(r[1])
+
+
+# ---------------------------------------------------------------------------
+# cardinality (HLL)
+# ---------------------------------------------------------------------------
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct user_id (north_star query 1) — HLL m=2^14,
+    bound |est−true|/true ≤ 2%."""
+    events = _read(spark, sf_dir, "events")
+    kernel, _ = build_sketch(events, HllSpec(p=14), key="user_id")
+    true = events.select(F.countDistinct("user_id").alias("d")).first()["d"]
+    est = kernel.estimate()
+    ok = bool(abs(est - true) / true <= 0.02)
+    return spark.createDataFrame(
+        [Row(sketch="hll_users", true_distinct=int(true), within_2pct=ok)]
+    )
+
+
+def q_hll_distinct_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (user_id, event_type) — the composite-key analog
+    of archbloom's (conv_id, tool) cardinality query."""
+    events = _read(spark, sf_dir, "events")
+    key = F.concat_ws("\x00", F.col("user_id"), F.col("event_type"))
+    kernel, _ = build_sketch(events, HllSpec(p=14), key=key)
+    true = events.select(
+        F.countDistinct("user_id", "event_type").alias("d")
+    ).first()["d"]
+    est = kernel.estimate()
+    ok = bool(abs(est - true) / true <= 0.02)
+    return spark.createDataFrame(
+        [Row(sketch="hll_user_type", true_distinct=int(true), within_2pct=ok)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# membership (bloom / cuckoo) — semi-join carriers
+# ---------------------------------------------------------------------------
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom probe of purchase-users against all events — at p=1e-6 the probe
+    equals the exact left-semi join on this data (verified; bloom never
+    false-negatives, expected FP ≈ n·p ≪ 1)."""
+    events = _read(spark, sf_dir, "events")
+    members = events.filter(F.col("event_type") == "purchase")
+    kernel, _ = build_sketch(members, BloomSpec(200_000, 1e-6), key="user_id")
+    return (
+        events.withColumn("hit", probe.probe_column(spark, kernel, "user_id"))
+        .filter("hit")
+        .select("user_id")
+        .distinct()
+        .select("user_id")
+    )
+
+
+def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo membership with deletions: insert even doc_ids, remove the ones
+    divisible by 10, probe all — retained members are found exactly (no false
+    negatives), removed/odd ones bounded by the published FPR."""
+    docs = _read(spark, sf_dir, "documents")
+    ids = [str(r[0]) for r in docs.select("doc_id").collect()]
+    from sketchlib.kernels import CuckooFilter
+
+    cf = CuckooFilter(CuckooSpec(max(1024, len(ids)), bucket_size=4, seed=1))
+    members = [i for i in ids if int(i) % 2 == 0 and int(i) % 10 != 0]
+    removed = [i for i in ids if int(i) % 2 == 0 and int(i) % 10 == 0]
+    cf.update_strings(members + removed)
+    if removed:
+        cf.remove_strings(removed)
+    got = cf.contains_strings(ids)
+    found_members = sum(1 for i, g in zip(ids, got) if g and i in set(members))
+    non_members = [i for i in ids if i not in set(members)]
+    fp = sum(1 for i, g in zip(ids, got) if g and i in set(non_members))
+    fpr_ok = bool(fp / max(len(non_members), 1) <= 0.01)
+    return spark.createDataFrame(
+        [
+            Row(
+                sketch="cuckoo_docs",
+                n_members_found=int(found_members),
+                n_members_true=len(members),
+                fpr_within_bound=fpr_ok,
+            )
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# frequency (CMS / counting bloom)
+# ---------------------------------------------------------------------------
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter event types: exact counts (the relational carrier) +
+    CMS one-sided bound checks per key."""
+    events = _read(spark, sf_dir, "events")
+    spec = CmsSpec(epsilon=0.0005, delta=0.01)
+    kernel, total = build_sketch(events, spec, key="event_type")
+    exact = events.groupBy("event_type").count().withColumnRenamed("count", "cnt")
+    rows = exact.collect()
+    keys = [str(r["event_type"]) for r in rows]
+    est = kernel.estimate_strings(keys)
+    eps_n = np.e / spec.width * total
+    out = [
+        Row(
+            event_type=k,
+            cnt=int(r["cnt"]),
+            never_undercounts=bool(e >= r["cnt"]),
+            overcount_within_epsN=bool(e - r["cnt"] <= eps_n),
+        )
+        for k, r, e in zip(keys, rows, est)
+    ]
+    return spark.createDataFrame(out)
+
+
+def q_cbloom_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting-bloom min-count per lineitem returnflag — exact group counts
+    + the reference's one-sided guarantee (cbloom_count semantics,
+    src/cbloom.c:257-274)."""
+    li = _read(spark, sf_dir, "lineitem")
+    spec = CBloomSpec(1_000_000, 0.01, counter_bits=32)
+    kernel, _ = build_sketch(li, spec, key="l_returnflag")
+    exact = li.groupBy("l_returnflag").count().withColumnRenamed("count", "cnt")
+    rows = exact.collect()
+    keys = [str(r["l_returnflag"]) for r in rows]
+    est = kernel.count_strings(keys)
+    out = [
+        Row(l_returnflag=k, cnt=int(r["cnt"]), never_undercounts=bool(e >= r["cnt"]))
+        for k, r, e in zip(keys, rows, est)
+    ]
+    return spark.createDataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# time decay (tdbloom / tdcbloom)
+# ---------------------------------------------------------------------------
+
+def q_tdbloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency membership as-of max(ts): every exactly-recent user must be
+    flagged by the time-decaying bloom (no false negatives)."""
+    events = _read(spark, sf_dir, "events")
+    t0, t1 = _ts_bounds(events)
+    window = max((t1 - t0) // 3, 1)
+    spec = TdBloomSpec(200_000, 0.001, timeout=window, start_time=t0)
+    kernel, _ = build_sketch(events, spec, key="user_id", ts="ts")
+    recent = (
+        events.filter(F.unix_timestamp("ts") >= t1 - window)
+        .select("user_id")
+        .distinct()
+    )
+    users = [str(r[0]) for r in recent.collect()]
+    hits = kernel.contains_strings(users, as_of=t1) if users else np.array([])
+    return spark.createDataFrame(
+        [Row(user_id=int(u), td_hit=bool(h)) for u, h in zip(users, hits)]
+    ).select("user_id", "td_hit")
+
+
+def q_tdcbloom_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'How many events did user U have, counting only users active in the
+    last W seconds' — tdcbloom count vs the exact windowed GROUP BY."""
+    events = _read(spark, sf_dir, "events")
+    t0, t1 = _ts_bounds(events)
+    window = max((t1 - t0) // 3, 1)
+    spec = TdCBloomSpec(
+        200_000, 0.001, timeout=window, counter_bits=32, start_time=t0
+    )
+    kernel, _ = build_sketch(events, spec, key="user_id", ts="ts")
+    exact = (
+        events.filter(F.unix_timestamp("ts") >= t1 - window)
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "recent_cnt")
+    )
+    rows = exact.collect()
+    users = [str(r["user_id"]) for r in rows]
+    est = kernel.count_strings(users, as_of=t1) if users else np.array([])
+    out = [
+        Row(
+            user_id=int(r["user_id"]),
+            recent_cnt=int(r["recent_cnt"]),
+            est_at_least_recent=bool(e >= r["recent_cnt"]),
+        )
+        for r, e in zip(rows, est)
+    ]
+    return spark.createDataFrame(out).select("user_id", "recent_cnt", "est_at_least_recent")
+
+
+# ---------------------------------------------------------------------------
+# quantiles (KLL / t-digest)
+# ---------------------------------------------------------------------------
+
+def _rank_of(sorted_vals: np.ndarray, v: float) -> float:
+    lo = np.searchsorted(sorted_vals, v, side="left") / sorted_vals.size
+    hi = np.searchsorted(sorted_vals, v, side="right") / sorted_vals.size
+    return lo, hi
+
+
+def _quantile_query(spark, sf_dir, make_kernel, tol: float, sketch_name: str):
+    li = _read(spark, sf_dir, "lineitem")
+    kernel, _ = build_sketch(li, make_kernel, values="l_extendedprice")
+    vals = np.sort(
+        np.array([r[0] for r in li.select("l_extendedprice").collect()])
+    )
+    out = []
+    for q in QS:
+        est = kernel.quantile(q)
+        lo, hi = _rank_of(vals, est)
+        err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+        out.append(Row(sketch=sketch_name, q=float(q), rank_err_within_bound=bool(err <= tol)))
+    return spark.createDataFrame(out).select("sketch", "q", "rank_err_within_bound")
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL k=200 rank error ≤ 3% on l_extendedprice (Karnin–Lang–Liberty
+    bound ≈1.65% @99% for k=200; 3% is the always-bound used in tests)."""
+    return _quantile_query(spark, sf_dir, KllSpec(k=200), 0.03, "kll_extendedprice")
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest δ=200 rank error ≤ 2% mid-range on l_extendedprice."""
+    return _quantile_query(
+        spark, sf_dir, TDigestSpec(compression=200), 0.02, "tdigest_extendedprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# set algebra (bloom merge / intersect / jaccard — bloomtool §2.8)
+# ---------------------------------------------------------------------------
+
+def q_bloom_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bloomtool merge/intersect/intersection analogs over two user sets
+    (click-users vs purchase-users): exact counts are the carrier; the bloom
+    union must contain every member of both sets, and the bloom Jaccard
+    estimate must land within ±10pp of the true Jaccard."""
+    events = _read(spark, sf_dir, "events")
+    a_df = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b_df = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    inter_cnt = a_df.join(b_df, "user_id", "inner").count()
+    union_cnt = a_df.union(b_df).distinct().count()
+
+    spec = BloomSpec(200_000, 0.0001)
+    ka, _ = build_sketch(
+        events.filter(F.col("event_type") == "click"), spec, key="user_id"
+    )
+    kb, _ = build_sketch(
+        events.filter(F.col("event_type") == "purchase"), spec, key="user_id"
+    )
+    true_j = 100.0 * inter_cnt / union_cnt if union_cnt else 0.0
+    est_j = ka.jaccard(kb)
+    j_ok = bool(abs(est_j - true_j) <= 10.0)
+
+    both = [str(r[0]) for r in a_df.union(b_df).distinct().collect()]
+    merged = ka  # merge mutates — ka already holds click set
+    merged.merge(kb)
+    union_complete = bool(merged.contains_strings(both).all()) if both else True
+    return spark.createDataFrame(
+        [
+            Row(
+                inter_cnt=int(inter_cnt),
+                union_cnt=int(union_cnt),
+                union_contains_all=union_complete,
+                jaccard_within_10pp=j_ok,
+            )
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational carriers (exact — pure Catalyst, no sketches)
+# ---------------------------------------------------------------------------
+
+def q_events_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.col("event_type"), F.to_date("ts").alias("day")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select("event_type", "day", "n", "sum_value")
+    )
+
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped carrier: the exact-aggregation baseline the sketch
+    pipeline is benchmarked against."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "count_order",
+        )
+    )
+
+
+def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+        .select("user_id", "n_events")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hll_distinct_users": q_hll_distinct_users,
+    "hll_distinct_user_type": q_hll_distinct_user_type,
+    "bloom_membership": q_bloom_membership,
+    "cuckoo_membership": q_cuckoo_membership,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cbloom_point_counts": q_cbloom_point_counts,
+    "tdbloom_recent_users": q_tdbloom_recent_users,
+    "tdcbloom_windowed_counts": q_tdcbloom_windowed_counts,
+    "kll_quantiles": q_kll_quantiles,
+    "tdigest_quantiles": q_tdigest_quantiles,
+    "bloom_set_algebra": q_bloom_set_algebra,
+    "events_by_type_day": q_events_by_type_day,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "top_users": q_top_users,
+}
+
+
+ORACLES: dict[str, str] = {
+    "hll_distinct_users": """
+        SELECT 'hll_users' AS sketch,
+               COUNT(DISTINCT user_id) AS true_distinct,
+               TRUE AS within_2pct
+        FROM events
+    """,
+    "hll_distinct_user_type": """
+        SELECT 'hll_user_type' AS sketch,
+               COUNT(DISTINCT (user_id, event_type)) AS true_distinct,
+               TRUE AS within_2pct
+        FROM events
+    """,
+    "bloom_membership": """
+        SELECT DISTINCT user_id
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    "cuckoo_membership": """
+        SELECT 'cuckoo_docs' AS sketch,
+               COUNT(*) AS n_members_found,
+               COUNT(*) AS n_members_true,
+               TRUE AS fpr_within_bound
+        FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id % 10 != 0
+    """,
+    "cms_heavy_hitters": """
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               TRUE AS never_undercounts,
+               TRUE AS overcount_within_epsN
+        FROM events GROUP BY event_type
+    """,
+    "cbloom_point_counts": """
+        SELECT l_returnflag,
+               COUNT(*) AS cnt,
+               TRUE AS never_undercounts
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "tdbloom_recent_users": """
+        WITH bounds AS (
+            SELECT epoch(MIN(ts))::BIGINT AS t0, epoch(MAX(ts))::BIGINT AS t1 FROM events
+        )
+        SELECT DISTINCT user_id, TRUE AS td_hit
+        FROM events, bounds
+        WHERE epoch(ts)::BIGINT >= t1 - GREATEST((t1 - t0) // 3, 1)
+    """,
+    "tdcbloom_windowed_counts": """
+        WITH bounds AS (
+            SELECT epoch(MIN(ts))::BIGINT AS t0, epoch(MAX(ts))::BIGINT AS t1 FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS recent_cnt,
+               TRUE AS est_at_least_recent
+        FROM events, bounds
+        WHERE epoch(ts)::BIGINT >= t1 - GREATEST((t1 - t0) // 3, 1)
+        GROUP BY user_id
+    """,
+    "kll_quantiles": """
+        SELECT 'kll_extendedprice' AS sketch, q, TRUE AS rank_err_within_bound
+        FROM (SELECT UNNEST(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[])) AS q)
+    """,
+    "tdigest_quantiles": """
+        SELECT 'tdigest_extendedprice' AS sketch, q, TRUE AS rank_err_within_bound
+        FROM (SELECT UNNEST(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[])) AS q)
+    """,
+    "bloom_set_algebra": """
+        WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT (SELECT COUNT(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS inter_cnt,
+               (SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS union_cnt,
+               TRUE AS union_contains_all,
+               TRUE AS jaccard_within_10pp
+    """,
+    "events_by_type_day": """
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    """,
+    "lineitem_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_users": """
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC
+        LIMIT 20
+    """,
+}
