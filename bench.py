@@ -1,0 +1,128 @@
+"""Benchmark harness (driver contract): runs the headline sketch workload at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line.
+
+Two phases:
+1. **Sketch-build throughput** (the BASELINE.json metric, turns/sec): the
+   north-star sketch suite — HLL(conv_id), HLL(conv_id,tool), Bloom(text),
+   CMS(tool), TdBloom(conv_id, ts) — built in a single pass (build_many) over
+   deterministic synthetic transcripts (cached parquet, seed 42).
+2. **Query suite timings**: every __spark_entry__.queries() entry at sf_dir.
+
+Output: {"metric": "suite_total_sec", "value": <sec>, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": <sf>,
+         "transcripts_rows": N, "turns_per_sec_suite": X, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sketchlib.spark import get_spark  # noqa: E402
+from sketchlib.spark.agg import SketchJob, build_many  # noqa: E402
+from sketchlib.specs import BloomSpec, CmsSpec, HllSpec, TdBloomSpec  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONV = int(os.environ.get("SKETCHLIB_BENCH_CONVS", "30000"))
+CACHE_DIR = os.environ.get("SKETCHLIB_BENCH_CACHE", "/tmp/sketchlib_bench")
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def transcripts_path() -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = f"{CACHE_DIR}/transcripts_{N_CONV}.parquet"
+    if not os.path.exists(path):
+        from sketchlib.testdata import write_transcripts_parquet
+
+        write_transcripts_parquet(path, n_conversations=N_CONV, seed=42)
+    return path
+
+
+def bench_transcripts(spark) -> dict:
+    path = transcripts_path()
+    tr = spark.read.parquet(path)
+    n = tr.count()  # warms the page cache so build time ≈ compute time
+    t0_epoch = int(tr.select(F.min(F.unix_timestamp("ts"))).first()[0])
+
+    jobs = [
+        SketchJob("hll_conv", HllSpec(p=14), key="conv_id"),
+        SketchJob(
+            "hll_conv_tool",
+            HllSpec(p=14),
+            key=F.concat_ws("\x00", F.col("conv_id"), F.col("tool")),
+        ),
+        SketchJob("bloom_text", BloomSpec(max(n, 1000), 0.01), key="text"),
+        SketchJob("cms_tool", CmsSpec(epsilon=0.0005, delta=0.01), key="tool"),
+        SketchJob(
+            "td_conv",
+            TdBloomSpec(500_000, 0.001, timeout=7 * 86400, start_time=t0_epoch),
+            key="conv_id",
+            ts="ts",
+        ),
+    ]
+    t0 = time.perf_counter()
+    results = build_many(tr, jobs)
+    dt_suite = time.perf_counter() - t0
+
+    # single-sketch build (HLL only) for a per-sketch turns/s number
+    t0 = time.perf_counter()
+    build_many(tr, jobs[:1])
+    dt_single = time.perf_counter() - t0
+
+    hll = results["hll_conv"][0]
+    return {
+        "transcripts_rows": n,
+        "suite_build_sec": round(dt_suite, 3),
+        "turns_per_sec_suite": round(n / dt_suite),
+        "turns_per_sec_single_hll": round(n / dt_single),
+        "hll_conv_estimate": round(hll.estimate()),
+    }
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.collect()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("sketchlib-bench", cpus=CPUS)
+    t_all = time.perf_counter()
+    tr_stats = bench_transcripts(spark)
+    queries = bench_queries(spark)
+    total = round(time.perf_counter() - t_all, 3)
+    result = {
+        "metric": "suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        **tr_stats,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

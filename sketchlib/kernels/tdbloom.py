@@ -14,7 +14,8 @@ Deliberate deviation (SURVEY.md §7 hard-part 2): ticks come from the data's
 an explicit as-of time ``T`` — results are a pure function of (data, spec, T),
 deterministic and replayable on a cluster.  The same modular formulas are
 reproduced on the wrapped export; in memory we keep the *unwrapped* relative
-tick in int64 (0 = empty, else ``(ts - start_time) + 1``), which makes
+tick in int32 (0 = empty, else ``(ts - start_time) + 1``; spans up to 68
+years), which makes
 
     merge = element-wise max  (freshest-tick-wins)
 
@@ -44,7 +45,7 @@ class TdBloomFilter:
         self.m = spec.m
         self.k = spec.k
         if ticks is None:
-            ticks = np.zeros(self.m, dtype=np.int64)
+            ticks = np.zeros(self.m, dtype=np.int32)
         assert ticks.size == self.m
         self.ticks = ticks  # unwrapped: 0 empty, else (ts - start_time) + 1
 
@@ -53,6 +54,8 @@ class TdBloomFilter:
         r = np.asarray(ts_sec, dtype=np.int64) - np.int64(self.spec.start_time)
         if (r < 0).any():
             raise ValueError("ts earlier than spec.start_time")
+        if r.size and int(r.max()) >= 2**31 - 1:
+            raise ValueError("ts span exceeds int32 ticks (>68 years)")
         return r
 
     # -- ingest -----------------------------------------------------------
@@ -62,7 +65,7 @@ class TdBloomFilter:
         there last-writer-wins equals freshest because wall clock is
         monotone; with event time we take max explicitly)."""
         pos = mmh3.positions(data, offsets, self.k, self.m, self.spec.seed)
-        tick = self._rel(ts_sec) + 1
+        tick = (self._rel(ts_sec) + 1).astype(np.int32)
         np.maximum.at(self.ticks, pos.ravel(), np.repeat(tick, self.k))
 
     def update_strings(self, keys, ts_sec) -> None:
@@ -160,7 +163,7 @@ class TdBloomFilter:
 
     @classmethod
     def deserialize(cls, spec: TdBloomSpec, blob: bytes) -> "TdBloomFilter":
-        return cls(spec, np.frombuffer(blob, dtype=np.int64).copy())
+        return cls(spec, np.frombuffer(blob, dtype=np.int32).copy())
 
     def compact_state(self) -> np.ndarray:
         """The C-parity wrapped array: dtype from the reference's width

@@ -44,7 +44,7 @@ class TdCBloomFilter:
         if counters is None:
             counters = np.zeros(self.m, dtype=spec.counter_np_dtype)
         if ticks is None:
-            ticks = np.zeros(self.m, dtype=np.int64)
+            ticks = np.zeros(self.m, dtype=np.int32)
         self.counters = counters
         self.ticks = ticks  # unwrapped 1-based; 0 = empty (as in TdBloom)
 
@@ -55,6 +55,8 @@ class TdCBloomFilter:
         r = np.asarray(ts_sec, dtype=np.int64) - np.int64(self.spec.start_time)
         if (r < 0).any():
             raise ValueError("ts earlier than spec.start_time")
+        if r.size and int(r.max()) >= 2**31 - 1:
+            raise ValueError("ts span exceeds int32 ticks (>68 years)")
         return r
 
     # -- ingest -----------------------------------------------------------
@@ -62,7 +64,7 @@ class TdCBloomFilter:
         """Increment k counters (saturating) and stamp k cells with the
         freshest event tick (tdcbloom_add, src/tdcbloom.c:543-557)."""
         pos = self._positions(data, offsets).ravel()
-        tick = np.repeat(self._rel(ts_sec) + 1, self.k)
+        tick = np.repeat((self._rel(ts_sec) + 1).astype(np.int32), self.k)
         up, cnt = np.unique(pos, return_counts=True)
         self.counters[up] = _sat_add(self.counters[up], cnt, self.cap).astype(
             self.counters.dtype
@@ -167,5 +169,5 @@ class TdCBloomFilter:
     def deserialize(cls, spec: TdCBloomSpec, blob: bytes) -> "TdCBloomFilter":
         csize = spec.m * spec.counter_np_dtype.itemsize
         counters = np.frombuffer(blob[:csize], dtype=spec.counter_np_dtype).copy()
-        ticks = np.frombuffer(blob[csize:], dtype=np.int64).copy()
+        ticks = np.frombuffer(blob[csize:], dtype=np.int32).copy()
         return cls(spec, counters, ticks)

