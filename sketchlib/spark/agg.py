@@ -240,13 +240,29 @@ def build_many(df: DataFrame, jobs: list[SketchJob], fanin: int = 64) -> dict[st
 
 
 def _merge_blobs(spec_json: str, blobs: list[bytes]):
+    """Driver-side fold of partial states.  Threaded: zlib decompression and
+    large-array numpy merges both release the GIL, so this scales across
+    driver cores instead of being the serial Amdahl floor of every build."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spec = BaseSpec.from_json(spec_json)
     cls = KERNEL_BY_KIND[spec.kind]
-    acc = None
-    for blob in blobs:
-        k = cls.deserialize(spec, _unpack_state(blob))
-        acc = k if acc is None else acc.merge(k)
-    return acc if acc is not None else cls(spec)
+    if not blobs:
+        return cls(spec)
+    nthreads = min(8, max(1, len(blobs) // 2))
+    with ThreadPoolExecutor(nthreads) as pool:
+        kernels = list(
+            pool.map(lambda b: cls.deserialize(spec, _unpack_state(b)), blobs)
+        )
+        # pairwise tree fold: log2(n) levels, merges within a level in parallel
+        while len(kernels) > 1:
+            pairs = [
+                (kernels[i], kernels[i + 1])
+                for i in range(0, len(kernels) - 1, 2)
+            ]
+            tail = [kernels[-1]] if len(kernels) % 2 else []
+            kernels = list(pool.map(lambda ab: ab[0].merge(ab[1]), pairs)) + tail
+    return kernels[0]
 
 
 def tree_merge(partials: DataFrame, spec: BaseSpec, n_buckets: int) -> DataFrame:
