@@ -311,6 +311,39 @@ def q_bloom_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gaussian Naive Bayes (reference src/gaussiannb.c, SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+def q_gaussiannb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit GNB on events (label=event_type, features=value + hour-of-day);
+    the per-class counts/means are the exact relational carrier, plus a
+    bound-check that scoring the training rows beats chance."""
+    from sketchlib.ml.gaussiannb import fit_gaussian_nb, predict_udf
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "hour", F.hour("ts").cast("double")
+    )
+    model = fit_gaussian_nb(events, "event_type", ["value", "hour"])
+    preds = events.withColumn(
+        "pred", predict_udf(spark, model, ["value", "hour"])
+    )
+    acc = preds.filter(F.col("pred") == F.col("event_type")).count() / events.count()
+    acc_ok = bool(acc >= 1.0 / (2 * len(model.labels)))
+    rows = [
+        Row(
+            event_type=str(lbl),
+            n=int(model.count[i]),
+            mean_value=float(round(model.mean[i][0], 4)),
+            pred_acc_above_half_chance=acc_ok,
+        )
+        for i, lbl in enumerate(model.labels)
+    ]
+    return spark.createDataFrame(rows).select(
+        "event_type", "n", "mean_value", "pred_acc_above_half_chance"
+    )
+
+
+# ---------------------------------------------------------------------------
 # relational carriers (exact — pure Catalyst, no sketches)
 # ---------------------------------------------------------------------------
 
@@ -374,6 +407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_quantiles": q_kll_quantiles,
     "tdigest_quantiles": q_tdigest_quantiles,
     "bloom_set_algebra": q_bloom_set_algebra,
+    "gaussiannb_events": q_gaussiannb_events,
     "events_by_type_day": q_events_by_type_day,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "top_users": q_top_users,
@@ -453,6 +487,13 @@ ORACLES: dict[str, str] = {
                (SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS union_cnt,
                TRUE AS union_contains_all,
                TRUE AS jaccard_within_10pp
+    """,
+    "gaussiannb_events": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(AVG(value), 4) AS mean_value,
+               TRUE AS pred_acc_above_half_chance
+        FROM events GROUP BY event_type
     """,
     "events_by_type_day": """
         SELECT event_type,
