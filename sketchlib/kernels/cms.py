@@ -49,8 +49,10 @@ class CountMinSketch:
         pos = self._positions(data, offsets)
         n = pos.shape[0]
         for i in range(self.d):
-            up, cnt = np.unique(pos[:, i], return_counts=True)
-            self.table[i, up] += cnt.astype(np.uint64) * U64(amount)
+            hist = np.bincount(pos[:, i], minlength=self.w)
+            if amount != 1:
+                hist *= amount
+            self.table[i] += hist.astype(U64)
         self.total += n * amount
 
     def update_strings(self, keys, amount: int = 1) -> None:

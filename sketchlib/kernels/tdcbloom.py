@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 from sketchlib import mmh3
-from sketchlib.kernels.cbloom import _sat_add
+from sketchlib.kernels.cbloom import _sat_add, _scatter_sat_add
 from sketchlib.specs import TdCBloomSpec
 
 
@@ -65,10 +65,7 @@ class TdCBloomFilter:
         freshest event tick (tdcbloom_add, src/tdcbloom.c:543-557)."""
         pos = self._positions(data, offsets).ravel()
         tick = np.repeat((self._rel(ts_sec) + 1).astype(np.int32), self.k)
-        up, cnt = np.unique(pos, return_counts=True)
-        self.counters[up] = _sat_add(self.counters[up], cnt, self.cap).astype(
-            self.counters.dtype
-        )
+        _scatter_sat_add(self.counters, pos, 1, self.cap)
         np.maximum.at(self.ticks, pos, tick)
 
     def update_strings(self, keys, ts_sec) -> None:

@@ -65,6 +65,18 @@ class SketchJob:
     values: object | None = None
 
 
+
+def _coalesce_to_parallelism(df: DataFrame) -> DataFrame:
+    """One partial state per task slot, not per input split: with S splits
+    and C cores, S ≫ C would produce S states to compress/transfer/merge —
+    pure overhead, since a task can fold many splits into one kernel.
+    coalesce (no shuffle) caps partials at the session's parallelism."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() > par:
+        return df.coalesce(par)
+    return df
+
+
 def _as_key_col(key) -> Column:
     col = F.col(key) if isinstance(key, str) else key
     return col.cast("string").alias("__key")
@@ -113,6 +125,7 @@ def sketch_partials(
     proj = df.select(*cols)
     if wants_key:
         proj = proj.filter(F.col("__key").isNotNull())
+    proj = _coalesce_to_parallelism(proj)
 
     spec_json = spec.to_json()
 
@@ -182,7 +195,7 @@ def build_many(df: DataFrame, jobs: list[SketchJob], fanin: int = 64) -> dict[st
         if job.values is not None:
             _register(job.values, "values", ji)
 
-    proj = df.select(*cols)
+    proj = _coalesce_to_parallelism(df.select(*cols))
     specs_json = [j.spec.to_json() for j in jobs]
     roles = [aliases[i] for i in range(len(jobs))]
 
