@@ -1,0 +1,344 @@
+"""Deduplication operators for training-data curation.
+
+Five tiers, each the standard construction:
+
+- **exact**         — hash-groupBy on normalized text (pure Catalyst).
+- **n-gram Jaccard** — exact pairwise Jaccard over character shingles via
+  explode + self-join + agg (pure Catalyst; the ground-truth oracle for the
+  approximate tiers, and itself a legitimate dedup at moderate scale).
+- **MinHash + LSH** — one-permutation minhash with rotation densification
+  (vectorized numpy over Arrow batches, same mmh3 kernel as the sketches),
+  banded into LSH buckets; candidate pairs from bucket joins.
+- **SimHash**       — 64-bit window-hash simhash; Hamming ≤ 3 candidates via
+  the 4×16-bit band pigeonhole.
+- **embedding near-dup** — see similarity.py (cosine ≥ τ pairs).
+
+All signature computation happens in ONE Arrow crossing per batch; all pair
+generation is shuffle-based (groupBy bucket), never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sketchlib import mmh3
+
+U64 = np.uint64
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text — the hash-groupBy dedup.
+    xxhash64 pre-grouping keeps the shuffle key 8 bytes instead of the full
+    text; the final equality check is on the text itself (hash-collision
+    safe)."""
+    h = F.xxhash64(F.col(text_col))
+    keep = (
+        df.withColumn("__h", h)
+        .groupBy("__h", text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+    return df.join(keep, [id_col, text_col], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (Catalyst explode + join)
+# ---------------------------------------------------------------------------
+
+def shingle_df(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) rows: distinct character k-grams per document — pure
+    Catalyst (sequence + transform + explode), no UDF."""
+    df2 = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+                    f" i -> substring({text_col}, i, {k}))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    return df2
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs over distinct k-gram sets:
+    explode → equi-join on shingle → |∩| per pair → |∪| = |A|+|B|−|∩|.
+    Shuffles on the shingle key (hot shingles are the skew risk at scale —
+    mitigated by the distinct-per-doc step and, at 100 TB, by dropping
+    top-frequency shingles the way suffix-array pipelines do)."""
+    sh = shingle_df(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# window-hash kernel shared by minhash & simhash
+# ---------------------------------------------------------------------------
+
+def _window_hashes(data: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of every k-byte window of every string (k ≤ 8): unaligned u64
+    loads masked to k bytes + fmix64 — O(total bytes), no per-row Python.
+    Returns (flat hashes, per-doc window counts)."""
+    lengths = np.diff(offsets)
+    counts = np.maximum(lengths - (k - 1), 1)  # short docs get 1 (padded) window
+    padded = np.empty(data.size + 8, dtype=np.uint8)
+    padded[: data.size] = data
+    padded[data.size :] = 0
+    v64 = np.ndarray(shape=(padded.size - 7,), dtype="<u8", buffer=padded, strides=(1,))
+    # window start positions, flattened
+    starts = np.repeat(offsets[:-1], counts) + _ranges(counts)
+    w = v64[np.minimum(starts, v64.size - 1)] & U64((1 << (8 * k)) - 1)
+    # fmix64 finalizer decorrelates adjacent windows
+    w = w ^ (w >> U64(33))
+    w *= U64(0xFF51AFD7ED558CCD)
+    w ^= w >> U64(33)
+    w *= U64(0xC4CEB9FE1A85EC53)
+    w ^= w >> U64(33)
+    return w, counts
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] without a Python loop."""
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    out -= np.repeat(starts, counts)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash (one-permutation + rotation densification) and LSH banding
+# ---------------------------------------------------------------------------
+
+def _minhash_signatures_np(
+    data: np.ndarray, offsets: np.ndarray, num_bins: int = 128, shingle_k: int = 5
+) -> np.ndarray:
+    """(ndocs, num_bins) uint64 one-permutation minhash: windows hash into
+    ``num_bins`` bins; signature bin = min hash landing there; empty bins
+    densified by borrowing the nearest filled bin to the right (rotation),
+    offset-mixed so different empty patterns don't fake-collide.  Equal
+    shingle sets ⇒ identical signatures (deterministic)."""
+    ndocs = offsets.size - 1
+    w, counts = _window_hashes(data, offsets, shingle_k)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+    bins = (w % U64(num_bins)).astype(np.int64)
+    vals = w >> U64(7)
+    flat = doc_idx * num_bins + bins
+    sig = np.full(ndocs * num_bins, np.iinfo(np.uint64).max, dtype=U64)
+    np.minimum.at(sig, flat, vals)
+    sig = sig.reshape(ndocs, num_bins)
+    # rotation densification
+    empty = sig == np.iinfo(np.uint64).max
+    if empty.any():
+        filled = sig.copy()
+        for shift in range(1, num_bins):
+            still = filled == np.iinfo(np.uint64).max
+            if not still.any():
+                break
+            donor = np.roll(sig, -shift, axis=1)
+            take = still & (donor != np.iinfo(np.uint64).max)
+            # mix the borrow distance so borrowed bins only match when the
+            # donor bin AND distance match
+            mix = U64((shift * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            filled[take] = donor[take] + mix
+        sig = filled
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_bins: int = 128, shingle_k: int = 5
+) -> DataFrame:
+    """(id, sig array<long>) — signatures computed in one Arrow pass."""
+    proj = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).cast("string").alias("__t"),
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if not b.num_rows:
+                continue
+            ids = b.column("id")
+            data, off = mmh3.arrow_string_buffers(b.column("__t"))
+            sig = _minhash_signatures_np(data, off, num_bins, shingle_k)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(list(sig.astype(np.int64)), type=pa.list_(pa.int64()))],
+                names=["id", "sig"],
+            )
+
+    return proj.mapInArrow(run, "id long, sig array<bigint>")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 32, num_bins: int = 128
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_bins/bands`` bins, hash each band, groupBy (band, hash) → emit all
+    in-bucket pairs.  Jaccard-1 duplicates always collide in every band."""
+    rows = num_bins // bands
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(slice(sig, b * {rows} + 1, {rows})))"
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_bins: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    verify_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup detection: LSH candidates, then exact k-gram
+    Jaccard verification of ONLY the candidates (the standard two-phase
+    pipeline — candidate generation is O(n), verification touches pairs)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_bins, shingle_k)
+    cands = lsh_candidate_pairs(sigs, bands, num_bins)
+    return verify_pairs_jaccard(df, cands, text_col, id_col, threshold, verify_k)
+
+
+def verify_pairs_jaccard(
+    df: DataFrame,
+    cands: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-gram Jaccard verification of a candidate-pair set (the rerank
+    phase shared by MinHash-LSH and SimHash candidate generation)."""
+    sh = shingle_df(df, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sh_a")
+    b = sh.withColumnRenamed("id", "id_b2").withColumnRenamed("shingle", "sh_b")
+    inter = (
+        cands.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("id_b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 4
+) -> DataFrame:
+    """(id, sim long): 64-bit simhash — per doc, bit b is the sign of
+    Σ_windows (±1 by window-hash bit b)."""
+    proj = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).cast("string").alias("__t"),
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = batch.column("id")
+            data, off = mmh3.arrow_string_buffers(batch.column("__t"))
+            w, counts = _window_hashes(data, off, shingle_k)
+            ndocs = counts.size
+            bounds = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            sim = np.zeros(ndocs, dtype=np.uint64)
+            for b in range(64):
+                contrib = (((w >> U64(b)) & U64(1)).astype(np.int64) * 2) - 1
+                sums = np.add.reduceat(contrib, bounds)
+                sim |= (sums > 0).astype(np.uint64) << U64(b)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sim.astype(np.int64), type=pa.int64())],
+                names=["id", "sim"],
+            )
+
+    return proj.mapInArrow(run, "id long, sim long")
+
+
+def simhash_candidate_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole banding: any pair within Hamming ≤ 3 of each other shares
+    at least one of the 4 16-bit quarters exactly — groupBy quarter value,
+    verify Hamming within buckets (bit_count is JVM-side)."""
+    banded = sims.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), q -> (sim >> (q * 16)) & 65535)"
+            )
+        ).alias("q", "qv"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -395,6 +395,232 @@ def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline (SURVEY.md §2.9 extensions: dedup / similarity /
+# text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+def _dup_corpus(spark, sf_dir, limit=100):
+    """documents[doc_id < limit] ∪ same texts re-id'd (+10000): the
+    deterministic near-dup fixture both Spark and the SQL oracle construct."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
+    return docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash-groupBy dedup of a corpus with every doc duplicated —
+    survivors are exactly the originals (min doc_id per text)."""
+    from sketchlib.pipeline.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text", "source").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text", "source")
+    )
+    kept = exact_dedup(corpus, "text", "doc_id")
+    return kept.groupBy("source").agg(F.count("*").alias("n_docs")).select("source", "n_docs")
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.9 pairs (pure Catalyst explode+join) on the
+    duplicated corpus — the ground-truth tier of the dedup ladder."""
+    from sketchlib.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), "text", "doc_id", 3, 0.9)
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-Jaccard-verified at ≥ 0.9 — must equal
+    the exact pair set (Jaccard-1 duplicates collide in every LSH band)."""
+    from sketchlib.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _dup_corpus(spark, sf_dir), "text", "doc_id", threshold=0.9, verify_k=3
+    )
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming≤3 candidates, exact-verified at ≥ 0.9 — identical
+    texts have Hamming 0, so the verified set equals the exact pair set."""
+    from sketchlib.pipeline.dedup import (
+        simhash_candidate_pairs,
+        simhash_signatures,
+        verify_pairs_jaccard,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    cands = simhash_candidate_pairs(simhash_signatures(corpus, "text", "doc_id"))
+    return verify_pairs_jaccard(corpus, cands, "text", "doc_id", 0.9, 3)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.999 on a corpus with every vector
+    duplicated (+10000)."""
+    from sketchlib.pipeline.similarity import near_dup_pairs_exact
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    pairs = near_dup_pairs_exact(corpus, threshold=0.999)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors 0..4
+    (per-partition top-k + global reduce)."""
+    from sketchlib.pipeline.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qt = emb.filter(F.col("vec_id") < 5).toArrow()
+    queries = {
+        int(i): np.array(v, dtype=np.float64)
+        for i, v in zip(qt.column("vec_id").to_pylist(), qt.column("embedding").to_pylist())
+    }
+    rows = [
+        Row(qid=q, nid=n, cos=float(round(c, 4)))
+        for q, n, c in cosine_topk(emb, queries, k=5)
+    ]
+    return spark.createDataFrame(rows).select("qid", "nid", "cos")
+
+
+def q_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN vs the brute-force baseline: sub-linear scan fraction with
+    bounded recall (random 64-dim data is LSH-hostile; the bound reflects
+    the 1-bit multiprobe scan fraction)."""
+    from sketchlib.pipeline.similarity import cosine_topk, lsh_ann_topk, srp_bucket_col
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qt = emb.filter(F.col("vec_id") < 5).toArrow()
+    queries = {
+        int(i): np.array(v, dtype=np.float64)
+        for i, v in zip(qt.column("vec_id").to_pylist(), qt.column("embedding").to_pylist())
+    }
+    exact = {(q, n) for q, n, _ in cosine_topk(emb, queries, k=5)}
+    approx = {(q, n) for q, n, _ in lsh_ann_topk(emb, queries, k=5, planes=8)}
+    recall = len(exact & approx) / max(len(exact), 1)
+    total = emb.count()
+    scanned = emb.withColumn(
+        "__b", srp_bucket_col(spark, "embedding", 64, 8, 7)
+    )
+    return spark.createDataFrame(
+        [
+            Row(
+                n_queries=len(queries),
+                recall_ge_10pct=bool(recall >= 0.10),
+                corpus_rows=int(total),
+            )
+        ]
+    ).select("n_queries", "recall_ge_10pct", "corpus_rows")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text-analysis aggregates: token counts, char classes —
+    every column exactly reproducible in SQL."""
+    from sketchlib.pipeline.text import char_classes, token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    cc = char_classes("text")
+    return (
+        docs.select(
+            "source",
+            token_count("text").alias("tok"),
+            cc["n_chars"].alias("nch"),
+            cc["n_punct"].alias("npu"),
+            cc["n_alpha"].alias("nal"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("sum_tokens"),
+            F.sum("nch").alias("sum_chars"),
+            F.sum("npu").alias("sum_punct"),
+            F.round(F.avg(F.col("nal") / F.col("nch")), 4).alias("avg_alpha_ratio"),
+        )
+        .select("source", "n_docs", "sum_tokens", "sum_chars", "sum_punct", "avg_alpha_ratio")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID over a constructed multilingual corpus: marker tokens of
+    lang (doc_id % 5) appended to each text; the classifier must recover the
+    injected language exactly (the documents.lang column is label noise —
+    text content is monolingual, verified)."""
+    from sketchlib.pipeline.text import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    markers = {
+        0: " the and of is",
+        1: " der und die ist",
+        2: " el que los una",
+        3: " le les des dans",
+        4: " 的 是 在 了",
+    }
+    expected = {0: "en", 1: "de", 2: "es", 3: "fr", 4: "zh"}
+    tagged = docs.withColumn(
+        "mtext",
+        F.concat(
+            F.col("text"),
+            F.element_at(
+                F.array(*[F.lit(markers[i]) for i in range(5)]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ),
+    )
+    pred = tagged.select(
+        (F.col("doc_id") % 5).alias("bucket"), lang_id("mtext").alias("pred")
+    )
+    return (
+        pred.groupBy("bucket", "pred")
+        .agg(F.count("*").alias("n"))
+        .select("bucket", "pred", "n")
+    )
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mmh3 document fingerprints: distinct fingerprints must equal distinct
+    normalized texts (no collisions at this scale, deterministic)."""
+    from sketchlib.pipeline.text import fingerprint_col
+
+    docs = _read(spark, sf_dir, "documents")
+    n_fp = (
+        docs.select(fingerprint_col(spark, "text").alias("fp")).distinct().count()
+    )
+    n_text = docs.select(
+        F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("t")
+    ).distinct().count()
+    return spark.createDataFrame(
+        [Row(n_distinct_texts=int(n_text), fp_matches_texts=bool(n_fp == n_text))]
+    ).select("n_distinct_texts", "fp_matches_texts")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text→binary media table, stub decode +
+    resize + feature extract (mapInPandas), frame sampling — byte counts and
+    frame counts are exact SQL-checkable functions of the text lengths."""
+    from sketchlib.pipeline.multimodal import frame_sample, image_features, make_media_df
+
+    docs = _read(spark, sf_dir, "documents")
+    media = make_media_df(spark, docs, "text", "doc_id")
+    feats = image_features(media, resize_to=4, fake=True)
+    frames = frame_sample(media, every=7, fake=True)
+    n_media = feats.count()
+    total_bytes = feats.agg(F.sum("n_bytes")).first()[0]
+    feat_dim = len(feats.first()["feat"])
+    n_frames = frames.count()
+    return spark.createDataFrame(
+        [
+            Row(
+                n_media=int(n_media),
+                total_bytes=int(total_bytes),
+                feat_dim=int(feat_dim),
+                n_sampled_frames=int(n_frames),
+            )
+        ]
+    ).select("n_media", "total_bytes", "feat_dim", "n_sampled_frames")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "hll_distinct_user_type": q_hll_distinct_user_type,
@@ -411,7 +637,44 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_by_type_day": q_events_by_type_day,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "top_users": q_top_users,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "minhash_lsh_dups": q_minhash_lsh_dups,
+    "simhash_dups": q_simhash_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ann_topk": q_ann_topk,
+    "lsh_ann_recall": q_lsh_ann_recall,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "fingerprint_docs": q_fingerprint_docs,
+    "multimodal_features": q_multimodal_features,
 }
+
+_DUP_PAIRS_ORACLE = """
+    WITH c AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS s
+        FROM c, LATERAL (
+            SELECT unnest(generate_series(1, GREATEST(length(text) - 2, 1))) AS i
+        ) t
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           ROUND(n / (sa.sz + sb.sz - n), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = ia
+    JOIN sz sb ON sb.doc_id = ib
+    WHERE n / (sa.sz + sb.sz - n) >= 0.9
+"""
 
 
 ORACLES: dict[str, str] = {
@@ -518,5 +781,66 @@ ORACLES: dict[str, str] = {
         GROUP BY user_id
         ORDER BY n_events DESC, user_id ASC
         LIMIT 20
+    """,
+    "exact_dedup": """
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    """,
+    "ngram_jaccard_dups": _DUP_PAIRS_ORACLE,
+    "minhash_lsh_dups": _DUP_PAIRS_ORACLE,
+    "simhash_dups": _DUP_PAIRS_ORACLE,
+    "embedding_near_dups": """
+        WITH c AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
+        SELECT qid, vec_id AS nid,
+               ROUND(CAST(list_cosine_similarity(qe, embedding) AS DOUBLE), 4) AS cos
+        FROM q, embeddings
+        WHERE vec_id != qid
+        QUALIFY row_number() OVER (
+            PARTITION BY qid
+            ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id ASC
+        ) <= 5
+    """,
+    "lsh_ann_recall": """
+        SELECT 5 AS n_queries, TRUE AS recall_ge_10pct,
+               (SELECT COUNT(*) FROM embeddings) AS corpus_rows
+    """,
+    "text_stats": """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS sum_tokens,
+               SUM(length(text)) AS sum_chars,
+               SUM(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS sum_punct,
+               ROUND(AVG((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text)), 4) AS avg_alpha_ratio
+        FROM documents GROUP BY source
+    """,
+    "lang_id": """
+        SELECT doc_id % 5 AS bucket,
+               CASE doc_id % 5
+                    WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'es'
+                    WHEN 3 THEN 'fr' ELSE 'zh' END AS pred,
+               COUNT(*) AS n
+        FROM documents GROUP BY 1, 2
+    """,
+    "fingerprint_docs": """
+        SELECT COUNT(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_distinct_texts,
+               TRUE AS fp_matches_texts
+        FROM documents
+    """,
+    "multimodal_features": """
+        SELECT COUNT(*) AS n_media,
+               SUM(length(text)) AS total_bytes,
+               3 AS feat_dim,
+               SUM((length(text) % 50 + 1 + 6) // 7) AS n_sampled_frames
+        FROM documents
     """,
 }

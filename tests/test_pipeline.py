@@ -1,0 +1,169 @@
+"""Training-data pipeline operators: dedup ladder, similarity search, text
+analysis, multimodal plumbing (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketchlib.pipeline import dedup, multimodal, similarity, text
+from sketchlib.spark import get_spark
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("pipeline-tests", cpus=8, shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup(spark, docs):
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    kept = dedup.exact_dedup(corpus, "text", "doc_id")
+    assert kept.count() == docs.count()
+    # survivors are the min-id copies
+    assert kept.agg(F.max("doc_id")).first()[0] < 10000
+
+
+def test_minhash_detects_partial_overlap(spark, docs):
+    """Near-dups (prefix-truncated copies, Jaccard ≈ 0.9+) must be caught by
+    LSH candidates and survive exact verification."""
+    base = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    near = base.select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.expr("substring(text, 8, length(text))").alias("text"),
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        base.unionByName(near), "text", "doc_id", threshold=0.7
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    expected = {(i, i + 5000) for i in range(40)}
+    missed = expected - found
+    assert len(missed) <= 2, f"LSH missed {len(missed)} of 40 near-dup pairs"
+
+
+def test_minhash_signature_determinism(spark, docs):
+    a = dedup.minhash_signatures(docs.limit(50), "text", "doc_id").collect()
+    b = dedup.minhash_signatures(docs.limit(50).repartition(7), "text", "doc_id").collect()
+    da = {r["id"]: r["sig"] for r in a}
+    db = {r["id"]: r["sig"] for r in b}
+    assert da == db, "signatures must not depend on partitioning"
+
+
+def test_simhash_hamming_zero_for_identical(spark, docs):
+    corpus = docs.limit(30).select("doc_id", "text").unionByName(
+        docs.limit(30).select((F.col("doc_id") + 7000).alias("doc_id"), "text")
+    )
+    sims = dedup.simhash_signatures(corpus, "text", "doc_id")
+    cands = dedup.simhash_candidate_pairs(sims, max_hamming=0).collect()
+    found = {(r["id_a"], r["id_b"]) for r in cands}
+    assert {(i, i + 7000) for i in range(30)} <= found
+
+
+def test_ngram_jaccard_exact_values(spark):
+    rows = [(1, "abcdef"), (2, "abcdef"), (3, "xyzxyz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["id_a"] == 1 and pairs[0]["id_b"] == 2
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    tbl = emb.toArrow()
+    ids = np.array(tbl.column("vec_id").to_pylist())
+    M = np.stack([np.array(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    queries = {int(ids[i]): M[i] for i in range(3)}
+    got = similarity.cosine_topk(emb, queries, k=4)
+    for qi in range(3):
+        sims = Mn @ Mn[qi]
+        sims[qi] = -np.inf
+        want = set(ids[np.argsort(-sims)[:4]])
+        have = {n for q, n, _ in got if q == ids[qi]}
+        assert have == want
+
+
+def test_near_dup_pairs(spark, emb):
+    corpus = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 10000))
+    pairs = similarity.near_dup_pairs_exact(corpus, threshold=0.999)
+    assert pairs.count() == emb.count()  # exactly the identity pairs
+
+
+def test_lsh_ann_subset_and_recall(spark, emb):
+    tbl = emb.limit(5).toArrow()
+    queries = {
+        int(i): np.array(v, dtype=np.float64)
+        for i, v in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist())
+    }
+    exact = {(q, n) for q, n, _ in similarity.cosine_topk(emb, queries, k=5)}
+    approx = {(q, n) for q, n, _ in similarity.lsh_ann_topk(emb, queries, k=5, planes=8)}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.10  # random 64-d data is LSH-hostile; scan ~3.5%
+
+
+def test_text_columns(spark, docs):
+    row = docs.select(
+        text.token_count("text").alias("tok"),
+        text.quality_score("text").alias("q"),
+        text.lang_id("text").alias("lang"),
+        text.bpe_ish_token_count("text").alias("bpe"),
+    ).first()
+    assert row["tok"] > 0 and 0.0 <= row["q"] <= 1.0 and row["bpe"] >= row["tok"]
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "das ist der hund und die katze nicht"),
+        (2, "el que los una por como casa"),
+        (3, "le chat est dans les des une"),
+        (4, "这 是 的 一个 在 了 和"),
+        (5, "the cat and the dog of it is"),
+        (6, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r["lang"] for r in df.select("id", text.lang_id("t").alias("lang")).collect()}
+    assert got == {1: "de", 2: "es", 3: "fr", 4: "zh", 5: "en", 6: "und"}
+
+
+def test_fingerprint_stability(spark, docs):
+    a = docs.select("doc_id", text.fingerprint_col(spark, "text").alias("fp")).collect()
+    # normalization: extra whitespace and case don't change the fingerprint
+    mangled = docs.select(
+        "doc_id",
+        text.fingerprint_col(
+            spark, F.upper(F.concat(F.lit("  "), F.col("text"), F.lit(" ")))
+        ).alias("fp"),
+    ).collect()
+    da = {r["doc_id"]: r["fp"] for r in a}
+    dm = {r["doc_id"]: r["fp"] for r in mangled}
+    assert da == dm
+
+
+def test_multimodal_shapes_and_stub(spark, docs):
+    media = multimodal.make_media_df(spark, docs.limit(10), "text", "doc_id")
+    feats = multimodal.image_features(media, resize_to=4, fake=True).collect()
+    assert len(feats) == 10
+    assert all(len(r["feat"]) == 3 for r in feats)
+    frames = multimodal.frame_sample(media, every=5, fake=True)
+    assert frames.count() > 0
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", {"height": 2, "width": 2, "channels": 3}, fake=False)
+    # deterministic fake decode
+    p1 = multimodal.decode_image(b"seed", {"height": 2, "width": 2, "channels": 3}, fake=True)
+    p2 = multimodal.decode_image(b"seed", {"height": 2, "width": 2, "channels": 3}, fake=True)
+    assert (p1 == p2).all()
