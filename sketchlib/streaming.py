@@ -1,0 +1,171 @@
+"""Structured Streaming integration.
+
+The reference's time-decaying filters exist to answer streaming-shaped
+questions ("seen in the last W seconds?") — here they are maintained by
+actual streams:
+
+- ``sketch_sink``: a foreachBatch sink that folds every micro-batch into the
+  persistent sketch state in a SketchStore.  Exactly-once per epoch: the
+  store records the last applied epoch per (query, sketch) and skips
+  replayed batches, so at-least-once delivery cannot double-count counters.
+- ``windowed_counts``: the watermark + windowed aggregation carrier (exact,
+  built-in operators — late data handled by the watermark).
+- ``conversation_state``: a custom stateful operator via
+  ``applyInPandasWithState``: per-conversation running turn count + last
+  event time, with idle-timeout expiry — the streaming analog of the
+  tdbloom freshness rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from sketchlib.spark.agg import SketchJob, build_many
+from sketchlib.store import SketchStore
+
+
+def read_transcripts_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """File-source stream over a transcripts directory (one file per
+    micro-batch by default — the test/bench driver; swap for kafka in
+    production)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def sketch_sink(store: SketchStore, jobs: list[SketchJob], query_name: str):
+    """foreachBatch function maintaining one merged kernel per job in the
+    store, with epoch-dedup for exactly-once folding."""
+    epoch_file = os.path.join(store.root, f"{query_name}.epoch")
+
+    def _last_epoch() -> int:
+        try:
+            with open(epoch_file) as f:
+                return json.load(f)["epoch"]
+        except (OSError, ValueError):
+            return -1
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= _last_epoch():
+            return  # replayed batch — already folded
+        results = build_many(batch_df, jobs)
+        for job in jobs:
+            kernel, rows = results[job.name]
+            try:
+                current, metrics = store.load_kernel(job.name)
+                current.merge(kernel)
+                metrics["rows"] = metrics.get("rows", 0) + rows
+                metrics["epochs"] = metrics.get("epochs", 0) + 1
+            except FileNotFoundError:
+                current, metrics = kernel, {"rows": rows, "epochs": 1}
+            store.save_kernel(job.name, current, metrics)
+        tmp = epoch_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch_id}, f)
+        os.replace(tmp, epoch_file)
+
+    return _apply
+
+
+def run_stream_build(
+    spark: SparkSession,
+    input_path: str,
+    store: SketchStore,
+    jobs: list[SketchJob],
+    checkpoint_dir: str,
+    query_name: str = "sketch_build",
+):
+    """Wire stream → sketch_sink; caller drives with processAllAvailable()
+    (tests) or awaitTermination() (production)."""
+    stream = read_transcripts_stream(spark, input_path)
+    return (
+        stream.writeStream.foreachBatch(sketch_sink(store, jobs, query_name))
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "tool",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window counts — the exact-aggregation carrier the
+    sketch estimates are checked against in streaming mode."""
+    # watermarks require TIMESTAMP (LTZ); parquet NTZ casts losslessly under
+    # the session's UTC timezone
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+_CONV_STATE_SCHEMA = "n_turns long, last_ts long"
+_CONV_OUT_SCHEMA = "conv_id string, n_turns long, last_ts long, expired boolean"
+
+
+def _make_conversation_fn(timeout_ms: int):
+    def _conversation_fn(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [conv_id], "n_turns": [n], "last_ts": [last], "expired": [True]}
+            )
+            return
+        n, last = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            last = max(last, int(pdf["ts_sec"].max()))
+        state.update((n, last))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "n_turns": [n], "last_ts": [last], "expired": [False]}
+        )
+
+    return _conversation_fn
+
+
+def conversation_state(stream: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+    """Per-conversation running state with idle expiry
+    (applyInPandasWithState) — custom stateful streaming, the tdbloom
+    'fresh within timeout' semantics as an operator.
+
+    Note: while idle-timeout state exists, the engine keeps scheduling
+    no-data cleanup batches, so ``processAllAvailable()`` does not return —
+    poll the sink and ``stop()`` (as production jobs do)."""
+    prepared = stream.select(
+        "conv_id", F.unix_timestamp(F.col("ts").cast("timestamp_ltz")).alias("ts_sec")
+    )
+    return prepared.groupBy("conv_id").applyInPandasWithState(
+        _make_conversation_fn(timeout_ms),
+        _CONV_OUT_SCHEMA,
+        _CONV_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

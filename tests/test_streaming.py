@@ -1,0 +1,135 @@
+"""Structured Streaming: micro-batch sketch maintenance equals a batch
+build; watermarked window carrier; custom stateful operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketchlib import streaming
+from sketchlib.spark import get_spark
+from sketchlib.spark.agg import SketchJob, build_many
+from sketchlib.specs import CmsSpec, HllSpec
+from sketchlib.store import SketchStore
+from sketchlib.testdata import write_transcripts_parquet
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("stream-tests", cpus=4, shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def tr_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("st") / "tr")
+    write_transcripts_parquet(d, n_conversations=400, seed=42, n_files=5)
+    return d
+
+
+def test_stream_build_equals_batch(spark, tr_dir, tmp_path):
+    """Folding 5 micro-batches (1 file each) must produce byte-identical
+    sketches to one batch build over the whole directory."""
+    store = SketchStore(str(tmp_path / "store"))
+    jobs = [
+        SketchJob("hll_conv", HllSpec(p=12), key="conv_id"),
+        SketchJob("cms_tool", CmsSpec(epsilon=0.01, delta=0.1), key="tool"),
+    ]
+    q = streaming.run_stream_build(
+        spark, tr_dir, store, jobs, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = build_many(spark.read.parquet(tr_dir), jobs)
+    for job in jobs:
+        streamed, metrics = store.load_kernel(job.name)
+        assert streamed.serialize() == batch[job.name][0].serialize(), job.name
+        assert metrics["rows"] == batch[job.name][1]
+        assert metrics["epochs"] == 5
+
+
+def test_epoch_replay_is_idempotent(spark, tr_dir, tmp_path):
+    """Replaying an epoch (at-least-once delivery) must not double-count."""
+    store = SketchStore(str(tmp_path / "store2"))
+    jobs = [SketchJob("cms_tool", CmsSpec(epsilon=0.01, delta=0.1), key="tool")]
+    sink = streaming.sketch_sink(store, jobs, "q2")
+    df = spark.read.parquet(tr_dir)
+    sink(df, 0)
+    k1, m1 = store.load_kernel("cms_tool")
+    sink(df, 0)  # replay
+    k2, m2 = store.load_kernel("cms_tool")
+    assert k2.serialize() == k1.serialize()
+    assert m2["rows"] == m1["rows"]
+    sink(df, 1)  # genuinely new epoch doubles the counts
+    k3, _ = store.load_kernel("cms_tool")
+    assert k3.total == 2 * k1.total
+
+
+def test_windowed_counts(spark, tr_dir):
+    stream = streaming.read_transcripts_stream(spark, tr_dir)
+    # files are split by conv_id, so each micro-batch spans the full ~31-day
+    # ts range; a watermark wider than the span keeps every window open and
+    # makes the streaming totals exactly equal the batch counts
+    agg = streaming.windowed_counts(stream, window="60 minutes", watermark="800 hours")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wc")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT tool, SUM(n) AS n FROM wc WHERE tool != '' GROUP BY tool"
+    )
+    # update-mode emits per-batch running counts; the MAX per (window,key) is
+    # the final count — simpler check: totals per tool must match batch counts
+    latest = spark.sql(
+        """SELECT tool, SUM(n) AS n FROM (
+               SELECT win_start, tool, MAX(n) AS n FROM wc WHERE tool != ''
+               GROUP BY win_start, tool)
+           GROUP BY tool"""
+    )
+    exact = (
+        spark.read.parquet(tr_dir)
+        .filter(F.col("tool") != "")
+        .groupBy("tool")
+        .count()
+    )
+    gotd = {r["tool"]: r["n"] for r in latest.collect()}
+    wantd = {r["tool"]: r["count"] for r in exact.collect()}
+    assert gotd == wantd
+
+
+def test_conversation_state(spark, tr_dir):
+    import time
+
+    stream = streaming.read_transcripts_stream(spark, tr_dir)
+    st = streaming.conversation_state(stream, timeout_ms=3_000)
+    q = (
+        st.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cs")
+        .start()
+    )
+    # idle-timeout state keeps the cleanup loop alive, so poll the sink
+    # instead of processAllAvailable (see conversation_state docstring)
+    exact = spark.read.parquet(tr_dir).groupBy("conv_id").count()
+    wantd = {r["conv_id"]: r["count"] for r in exact.collect()}
+    deadline = time.time() + 180
+    gotd: dict = {}
+    expired = 0
+    while time.time() < deadline:
+        rows = spark.sql(
+            "SELECT conv_id, MAX(n_turns) AS n, MAX(CAST(expired AS INT)) AS e "
+            "FROM cs GROUP BY conv_id"
+        ).collect()
+        gotd = {r["conv_id"]: r["n"] for r in rows}
+        expired = sum(r["e"] for r in rows)
+        if gotd == wantd and expired == len(wantd):
+            break
+        time.sleep(3)
+    q.stop()
+    assert gotd == wantd
+    assert expired == len(wantd), "idle timeout must expire every conversation"
