@@ -71,14 +71,16 @@ def lang_id(col) -> Column:
     present; argmax wins, 'und' (undetermined) when nothing matches.
     Pure Catalyst: one pass of token containment per language."""
     c = F.col(col) if isinstance(col, str) else col
-    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        s = None
-        for m in markers:
-            hit = F.when(padded.contains(f" {m} "), 1).otherwise(0)
-            s = hit if s is None else (s + hit)
-        scores.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
+    toks = F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
+    scores = [
+        F.struct(
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
     best = F.greatest(*scores)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
