@@ -277,6 +277,55 @@ def verify_pairs_jaccard(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    ids: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, canonical_id), where
+    canonical_id is the cluster minimum — the keep-one step after pair
+    detection.  Iterative min-label propagation in pure DataFrame ops
+    (converges in O(log(diameter)) rounds; dup clusters are tiny so a handful
+    of rounds suffices; raises if not converged within ``max_iters``).
+
+    ``ids``: one column ``id``; ``pairs``: columns ``id_a``, ``id_b``."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+    )
+    labels = ids.select(F.col("id"), F.col("id").alias("label"))
+    for _ in range(max_iters):
+        # each node adopts the min label among itself and its neighbors
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("canonical_id"))
+    raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

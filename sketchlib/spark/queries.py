@@ -454,6 +454,18 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_jaccard(corpus, cands, "text", "doc_id", 0.9, 3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → connected components → canonical (min) id per doc: the
+    keep-one resolution step.  On the duplicated corpus every copy's
+    canonical is its original; originals map to themselves."""
+    from sketchlib.pipeline.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.9, verify_k=3)
+    ids = corpus.select(F.col("doc_id").alias("id"))
+    return duplicate_clusters(ids, pairs).select("id", "canonical_id")
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.999 on a corpus with every vector
     duplicated (+10000)."""
@@ -641,6 +653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_dups": q_simhash_dups,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk": q_ann_topk,
     "lsh_ann_recall": q_lsh_ann_recall,
@@ -786,6 +799,13 @@ ORACLES: dict[str, str] = {
         SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
     """,
     "ngram_jaccard_dups": _DUP_PAIRS_ORACLE,
+    "dedup_clusters": """
+        SELECT doc_id AS id, doc_id AS canonical_id
+        FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 10000 AS id, doc_id AS canonical_id
+        FROM documents WHERE doc_id < 100
+    """,
     "minhash_lsh_dups": _DUP_PAIRS_ORACLE,
     "simhash_dups": _DUP_PAIRS_ORACLE,
     "embedding_near_dups": """

@@ -116,6 +116,14 @@ def test_lsh_ann_subset_and_recall(spark, emb):
     assert recall >= 0.10  # random 64-d data is LSH-hostile; scan ~3.5%
 
 
+def test_duplicate_clusters_transitive(spark):
+    """a-b and b-c pairs must land in ONE cluster with canonical = min."""
+    ids = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "id_a long, id_b long")
+    out = {r["id"]: r["canonical_id"] for r in dedup.duplicate_clusters(ids, pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
 def test_text_columns(spark, docs):
     row = docs.select(
         text.token_count("text").alias("tok"),
