@@ -31,7 +31,7 @@ from sketchlib.specs import BloomSpec, CmsSpec, HllSpec, TdBloomSpec  # noqa: E4
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONV = int(os.environ.get("SKETCHLIB_BENCH_CONVS", "30000"))
+N_CONV = int(os.environ.get("SKETCHLIB_BENCH_CONVS", "100000"))
 CACHE_DIR = os.environ.get("SKETCHLIB_BENCH_CACHE", "/tmp/sketchlib_bench")
 
 
@@ -53,6 +53,12 @@ def transcripts_path() -> str:
     return path
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def bench_transcripts(spark) -> dict:
     path = transcripts_path()
     tr = spark.read.parquet(path)
@@ -70,19 +76,20 @@ def bench_transcripts(spark) -> dict:
         SketchJob("cms_tool", CmsSpec(epsilon=0.0005, delta=0.01), key="tool"),
         SketchJob(
             "td_conv",
-            TdBloomSpec(500_000, 0.001, timeout=7 * 86400, start_time=t0_epoch),
+            TdBloomSpec(100_000, 0.001, timeout=7 * 86400, start_time=t0_epoch),
             key="conv_id",
             ts="ts",
         ),
     ]
-    t0 = time.perf_counter()
-    results = build_many(tr, jobs)
-    dt_suite = time.perf_counter() - t0
-
-    # single-sketch build (HLL only) for a per-sketch turns/s number
-    t0 = time.perf_counter()
-    build_many(tr, jobs[:1])
-    dt_single = time.perf_counter() - t0
+    results = build_many(tr, jobs)  # warm (JIT, workers, footers)
+    # min of 3: this host is time-shared and identical runs vary up to 8x
+    # from tenant bursts — min isolates the engine
+    dt_suite = min(
+        _timed(lambda: build_many(tr, jobs)) for _ in range(3)
+    )
+    dt_single = min(
+        _timed(lambda: build_many(tr, jobs[:1])) for _ in range(2)
+    )
 
     hll = results["hll_conv"][0]
     return {

@@ -146,6 +146,45 @@ def test_kll_tdigest_quantiles(spark):
             assert abs(rank - q) <= 0.03, (q, est, true, rank)
 
 
+def test_probe_udfs(spark, events):
+    """count / as-of probe UDF paths (bloom path covered elsewhere)."""
+    from sketchlib.specs import TdCBloomSpec
+
+    cms, total = build_sketch(events, CmsSpec(epsilon=0.001, delta=0.01), key="event_type")
+    est = events.select(
+        "event_type", probe.count_udf(spark, cms)(F.col("event_type")).alias("est")
+    ).distinct()
+    exact = dict(events.groupBy("event_type").count().collect())
+    for r in est.collect():
+        assert r["est"] >= exact[r["event_type"]]
+
+    bounds = events.select(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    t0, t1 = int(bounds[0]), int(bounds[1])
+    w = (t1 - t0) // 2
+    tdc, _ = build_sketch(
+        events,
+        TdCBloomSpec(100_000, 0.001, timeout=w, counter_bits=32, start_time=t0),
+        key="user_id",
+        ts="ts",
+    )
+    got = events.select(
+        "user_id",
+        probe.count_asof_udf(spark, tdc, t1)(F.col("user_id").cast("string")).alias("c"),
+        probe.contains_asof_udf(spark, tdc, t1)(F.col("user_id").cast("string")).alias("hit"),
+    ).distinct()
+    recent = dict(
+        events.filter(F.unix_timestamp("ts") >= t1 - w)
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    for r in got.collect():
+        if r["user_id"] in recent:
+            assert r["hit"] and r["c"] >= recent[r["user_id"]]
+
+
 def test_tree_merge_matches_flat(spark, events):
     spec = BloomSpec(20_000, 0.01)
     partials = sketch_partials(events.repartition(16), spec, key="user_id")
