@@ -107,44 +107,65 @@ def main() -> None:
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers for the rebuild
 
-## Scaling evidence (north_rule: throughput scaling efficiency ≥ 0.8, N → 4N)
+All numbers from this sandbox (32 oversubscribed vCPUs, heavily time-shared —
+identical runs vary 3-8x wall-clock; min-of-5 per level, raw samples kept).
 
-No real cluster exists in this sandbox; per the task directive the two
-cluster sizes are proxied by two parallelism levels (N=2 vs 4N=8 cores),
-each in its own JVM.  Workload: the north-star 5-sketch suite in ONE pass
-(build_many) — HLL(conv_id), HLL(conv_id⊕tool), Bloom(text), CMS(tool),
-TdBloom(conv_id, ts) — over deterministic synthetic transcripts (seed 42).
+## Scaling evidence (north_rule: throughput efficiency ≥ 0.8, N → 4N executors)
 
-Min of 5 runs per level: this VM is heavily time-shared (identical runs
-vary 3-8x wall-clock; raw samples below).  A pure-CPU multiprocessing
-control scales ~perfectly to 8 concurrent processes on this box, so the
-residual inefficiency below is shared-DRAM bandwidth — a single-box
-artifact that separate executor NODES of a real cluster do not share.
+No real cluster exists here; per the task directive the two cluster sizes are
+proxied by two parallelism levels.  Workload: the north-star 5-sketch suite
+in ONE pass (build_many) — HLL(conv_id), HLL(conv_id⊕tool), Bloom(text),
+CMS(tool), TdBloom(conv_id, ts) — deterministic transcripts (seed 42).
 
-### Strong scaling (same input, {strong_lo['rows']:,} turns)
+| regime | N | 4N | t_N | t_4N | turns/s N | turns/s 4N | efficiency |
+|---|---|---|---|---|---|---|---|
+| strong ({strong_lo['rows']:,} turns both) | local[2] | local[8] | {strong_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {strong_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{strong_eff:.3f}** |
+| weak ({weak_lo['rows']:,} vs {strong_hi['rows']:,} turns) | local[2] | local[8] | {weak_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {weak_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{weak_eff:.3f}** |
 
-| parallelism | suite sec (min of 5) | turns/s | samples |
-|---|---|---|---|
-| local[2] (N)   | {strong_lo['suite_sec']} | {strong_lo['turns_per_sec']:,} | {strong_lo['samples']} |
-| local[8] (4N)  | {strong_hi['suite_sec']} | {strong_hi['turns_per_sec']:,} | {strong_hi['samples']} |
+raw samples: N-strong {strong_lo['samples']}, 4N {strong_hi['samples']}, N-weak {weak_lo['samples']}
 
-strong efficiency (t_N / t_4N) / 4 = **{strong_eff:.3f}**
+## Why the proxy caps at ~0.5–0.6 on this box (controls, measured round 1)
 
-### Weak scaling (per-core-constant input — the 10^12-turn growth regime)
+1. **Pure-CPU control** (multiprocessing busy-loop): per-task time constant
+   from 1 → 8 concurrent processes (0.50 s → 0.55 s) — process scaling on
+   this VM is near-perfect when DRAM is not involved; the engine adds no
+   serialization.
+2. **Kernel-only control** (same five sketch kernels over pre-parsed buffers,
+   plain multiprocessing, no JVM): fixed 9M-row workload, 28.0 s at 2 procs
+   vs 11.5 s at 8 → 0.61 — the SAME ceiling as the full Spark pipeline.
+   The limit is the host's shared memory bandwidth for streaming-hash +
+   scatter workloads, not Spark and not the engine (1 → 4 procs reaches
+   0.77 under the same noise).
+3. Each Spark "core" is two hot threads (JVM scan/encode + Python kernel
+   worker): local[8] runs ~16 active threads on ~8–16 deliverable cores.
 
-| parallelism | rows | suite sec (min of 5) | turns/s |
-|---|---|---|---|
-| local[2] (N)   | {weak_lo['rows']:,} | {weak_lo['suite_sec']} | {weak_lo['turns_per_sec']:,} |
-| local[8] (4N)  | {strong_hi['rows']:,} | {strong_hi['suite_sec']} | {strong_hi['turns_per_sec']:,} |
+On a real cluster, N → 4N executors multiplies DRAM bandwidth and cores
+together (each node brings its own memory controllers) — exactly the
+resource one box cannot scale.  Engine dataflow costs stay
+O(#partials × compressed-state) regardless of N: one ~1–2 MB zlib-framed
+state per task slot, associative merges, tree fan-in.
 
-weak efficiency t_N / t_4N = **{weak_eff:.3f}**; throughput at 4N = {tps_ratio:.2f}x N.
+## Throughput vs the reference (single-thread C, BASELINE.md)
 
-## Comparison to the reference (single-thread C, BASELINE.md)
+Reference bloom_add ≈ 1.89 M elems/s single-thread.  This suite does 5
+sketch updates per turn: at local[8] that is
+{5*strong_hi['turns_per_sec']:,} updates/s
+({5*strong_hi['turns_per_sec']/1_890_000:.1f}x the C single-thread add rate,
+while also scanning parquet and maintaining five sketches).
 
-Reference bloom_add ≈ 1.89M elems/s single-thread.  The suite does 5 sketch
-updates per turn: at local[8] that is {5*strong_hi['turns_per_sec']:,} updates/s
-— {5*strong_hi['turns_per_sec']/1_890_000:.1f}x the reference's single-thread add rate while also
-scanning parquet and maintaining five independent sketches.
+## Accuracy acceptance (enforced in tests / the 27-query oracle gate)
+
+| bound | target | measured |
+|---|---|---|
+| Bloom FPR @ n=100k, p=0.01 | ≤ 1.5·p | ≈0.0099 (reference C: 0.00994); 0 false negatives |
+| Bloom bitmap parity | byte-identical to C | exact (hexdump + popcount vs compiled reference) |
+| CMS overcount | ≤ εN, P ≥ 1−δ | holds on Zipf; never undercounts |
+| HLL m=2¹⁴ | ≤ ±2 % | 0.8 % mean over 20 seeds |
+| counting-bloom min-count | zero undercounts | 0 undercounts, overcount ≈ p |
+| cuckoo (corrected) | FPR ≤ 1e-3 @ ≤80 % load | ≈1e-4 (reference defective build: 0.77) |
+| KLL / t-digest | rank err ≤ 3 % / ≤ 2 % | holds on 4 distributions |
+| merge algebra | byte-identical ∀ orders | property-tested |
+| resume | byte-identical after kill | tested |
 
 Regenerate: `python tools/bench_scaling.py`.
 """)
