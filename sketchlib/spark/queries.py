@@ -384,6 +384,27 @@ def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join carrier: orders ⋈ customer ⋈ nation (dims broadcast —
+    the co-location pattern every probe/enrichment join uses at scale),
+    revenue per nation in exact integer cents."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .select("n_name", "n_orders", "revenue_cents")
+    )
+
+
 def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     return (
@@ -649,6 +670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_by_type_day": q_events_by_type_day,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "top_users": q_top_users,
+    "nation_revenue": q_nation_revenue,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -794,6 +816,15 @@ ORACLES: dict[str, str] = {
         GROUP BY user_id
         ORDER BY n_events DESC, user_id ASC
         LIMIT 20
+    """,
+    "nation_revenue": """
+        SELECT n_name,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS revenue_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
     """,
     "exact_dedup": """
         SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
