@@ -153,7 +153,7 @@ sketch updates per turn: at local[8] that is
 ({5*strong_hi['turns_per_sec']/1_890_000:.1f}x the C single-thread add rate,
 while also scanning parquet and maintaining five sketches).
 
-## Accuracy acceptance (enforced in tests / the 27-query oracle gate)
+## Accuracy acceptance (enforced in tests / the 28-query oracle gate)
 
 | bound | target | measured |
 |---|---|---|
