@@ -75,10 +75,22 @@ class TranscriptsTable:
         return self.spark.read.parquet(self.location)
 
     def read_days(self, start_day: str, end_day: str) -> DataFrame:
-        """Day-range read — prunes day partitions in both backends."""
-        df = self.read()
-        return df.filter(
-            (F.to_date("ts") >= F.lit(start_day)) & (F.to_date("ts") <= F.lit(end_day))
+        """Day-range read — prunes day partitions in both backends.
+
+        On the Parquet path the filter MUST hit the ``day`` partition column:
+        filtering ``to_date(ts)`` pushes a ts *data* filter but an empty
+        ``PartitionFilters: []`` (verified round 1), i.e. every day directory
+        is still scanned.  ``day == to_date(ts)`` by construction (write()),
+        so the day-range predicate is exactly equivalent."""
+        if self.use_iceberg:
+            # Iceberg's hidden days(ts) partitioning prunes from the ts range
+            return self.read().filter(
+                (F.to_date("ts") >= F.lit(start_day))
+                & (F.to_date("ts") <= F.lit(end_day))
+            )
+        return self.read().filter(
+            (F.col("day") >= F.lit(start_day).cast("date"))
+            & (F.col("day") <= F.lit(end_day).cast("date"))
         )
 
     def read_bucket_of(self, conv_id: str) -> DataFrame:

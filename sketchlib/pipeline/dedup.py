@@ -116,7 +116,15 @@ def _window_hashes(data: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.nd
     v64 = np.ndarray(shape=(padded.size - 7,), dtype="<u8", buffer=padded, strides=(1,))
     # window start positions, flattened
     starts = np.repeat(offsets[:-1], counts) + _ranges(counts)
-    w = v64[np.minimum(starts, v64.size - 1)] & U64((1 << (8 * k)) - 1)
+    # per-window byte mask: a doc shorter than k gets ONE window masked to
+    # its own length (not k) — masking to k would read the NEXT doc's bytes
+    # in the Arrow buffer and make short-doc signatures batch-position-
+    # dependent, breaking determinism and dup detection
+    eff_bits = np.repeat(np.minimum(lengths, k), counts).astype(np.uint64) * U64(8)
+    mask = np.full(eff_bits.size, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=U64)
+    partial = eff_bits < 64
+    mask[partial] = (U64(1) << eff_bits[partial]) - U64(1)
+    w = v64[np.minimum(starts, v64.size - 1)] & mask
     # fmix64 finalizer decorrelates adjacent windows
     w = w ^ (w >> U64(33))
     w *= U64(0xFF51AFD7ED558CCD)

@@ -283,8 +283,13 @@ def tree_merge(partials: DataFrame, spec: BaseSpec, n_buckets: int) -> DataFrame
     groups and merge each group to a single row.  Repeatable; used when the
     partial count would blow the driver fold."""
     spec_json = spec.to_json()
+    # bucket by the (sequential) partition id, NOT monotonically_increasing_id:
+    # partials carry one row per partition, so the monotonic id is
+    # partitionId<<33 and any even n_buckets would collapse every row into
+    # bucket 0, defeating the combine this exists for.  spark_partition_id
+    # % n gives perfectly even buckets.
     bucketed = partials.withColumn(
-        "__b", (F.monotonically_increasing_id() % n_buckets).cast("long")
+        "__b", (F.spark_partition_id() % n_buckets).cast("long")
     ).repartition(n_buckets, "__b")
 
     def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -10,6 +10,8 @@ the exact oracle used in tests.
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 import pyarrow as pa
 
@@ -20,23 +22,30 @@ from sketchlib import mmh3
 from sketchlib.kernels import KERNEL_BY_KIND
 from sketchlib.specs import BaseSpec
 
-_KERNEL_CACHE: dict[int, object] = {}
+# Keyed by a content digest of (spec_json, state blob) — NOT id(bc): a reused
+# executor worker can allocate a later probe's Broadcast at a freed one's
+# address and silently resolve the wrong kernel.  Content keying also makes
+# the cache a dedup (same sketch broadcast twice deserializes once).
+_KERNEL_CACHE: dict[str, object] = {}
+_KERNEL_CACHE_MAX = 64
 
 
 def _broadcast_kernel(spark: SparkSession, kernel):
-    return spark.sparkContext.broadcast(
-        (kernel.spec.to_json(), kernel.serialize())
-    )
+    spec_json = kernel.spec.to_json()
+    blob = kernel.serialize()
+    digest = hashlib.sha256(spec_json.encode() + b"\x00" + blob).hexdigest()
+    return spark.sparkContext.broadcast((digest, spec_json, blob))
 
 
 def _resolve(bc):
-    key = id(bc)
-    k = _KERNEL_CACHE.get(key)
+    digest, spec_json, blob = bc.value
+    k = _KERNEL_CACHE.get(digest)
     if k is None:
-        spec_json, blob = bc.value
+        if len(_KERNEL_CACHE) >= _KERNEL_CACHE_MAX:
+            _KERNEL_CACHE.clear()
         spec = BaseSpec.from_json(spec_json)
         k = KERNEL_BY_KIND[spec.kind].deserialize(spec, blob)
-        _KERNEL_CACHE[key] = k
+        _KERNEL_CACHE[digest] = k
     return k
 
 

@@ -101,30 +101,48 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cuckoo membership with deletions: insert even doc_ids, remove the ones
-    divisible by 10, probe all — retained members are found exactly (no false
-    negatives), removed/odd ones bounded by the published FPR."""
-    docs = _read(spark, sf_dir, "documents")
-    ids = [str(i) for i in docs.select("doc_id").toArrow().column(0).to_pylist()]
-    from sketchlib.kernels import CuckooFilter
+    """Cuckoo membership with deletions, DISTRIBUTED: insert even doc_ids,
+    remove the ones divisible by 10, probe all — retained members are found
+    exactly (no false negatives), removed/odd ones bounded by the published
+    FPR.  Build is key-partitioned shards (groupBy shard → per-shard kernel),
+    probe a routed broadcast UDF — no corpus collect anywhere (the round-1
+    version built the filter on the driver)."""
+    from sketchlib.spark.cuckoo_dist import build_sharded_cuckoo, cuckoo_probe_column
 
-    cf = CuckooFilter(CuckooSpec(max(1024, len(ids)), bucket_size=4, seed=1))
-    members = [i for i in ids if int(i) % 2 == 0 and int(i) % 10 != 0]
-    removed = [i for i in ids if int(i) % 2 == 0 and int(i) % 10 == 0]
-    cf.update_strings(members + removed)
-    if removed:
-        cf.remove_strings(removed)
-    got = cf.contains_strings(ids)
-    found_members = sum(1 for i, g in zip(ids, got) if g and i in set(members))
-    non_members = [i for i in ids if i not in set(members)]
-    fp = sum(1 for i, g in zip(ids, got) if g and i in set(non_members))
-    fpr_ok = bool(fp / max(len(non_members), 1) <= 0.01)
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    is_member = (F.col("id") % 2 == 0) & (F.col("id") % 10 != 0)
+    is_removed = (F.col("id") % 2 == 0) & (F.col("id") % 10 == 0)
+    # insert members+removed, then remove the removed — one sharded pass,
+    # ops applied adds-first per shard
+    ops = (
+        docs.filter(is_member | is_removed)
+        .select("id", F.lit(1).alias("op"))
+        .unionByName(docs.filter(is_removed).select("id", F.lit(-1).alias("op")))
+    )
+    n_shards = 8
+    n_total = docs.count()
+    spec = CuckooSpec(max(1024, n_total // n_shards + 64), bucket_size=4, seed=1)
+    sharded = build_sharded_cuckoo(ops, "id", spec, n_shards=n_shards, op="op")
+
+    agg = (
+        docs.withColumn("hit", cuckoo_probe_column(spark, sharded, "id"))
+        .agg(
+            F.sum(F.when(is_member & F.col("hit"), 1).otherwise(0)).alias("found"),
+            F.sum(F.when(is_member, 1).otherwise(0)).alias("true_members"),
+            F.sum(F.when(~is_member & F.col("hit"), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~is_member, 1).otherwise(0)).alias("nonmem"),
+        )
+        .first()
+    )
+    fpr_ok = bool(int(agg["fp"]) / max(int(agg["nonmem"]), 1) <= 0.01)
     return spark.createDataFrame(
         [
             Row(
                 sketch="cuckoo_docs",
-                n_members_found=int(found_members),
-                n_members_true=len(members),
+                n_members_found=int(agg["found"]),
+                n_members_true=int(agg["true_members"]),
                 fpr_within_bound=fpr_ok,
             )
         ]
@@ -193,11 +211,12 @@ def q_tdbloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    users = [str(r[0]) for r in recent.collect()]
-    hits = kernel.contains_strings(users, as_of=t1) if users else np.array([])
-    return spark.createDataFrame(
-        [Row(user_id=int(u), td_hit=bool(h)) for u, h in zip(users, hits)]
-    ).select("user_id", "td_hit")
+    # broadcast-probe over the DataFrame — never collect the key list to the
+    # driver (round-1 scale-killer: millions of user_ids at 100x)
+    return recent.select(
+        "user_id",
+        probe.probe_column(spark, kernel, "user_id", as_of=t1).alias("td_hit"),
+    )
 
 
 def q_tdcbloom_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,18 +235,15 @@ def q_tdcbloom_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .withColumnRenamed("count", "recent_cnt")
     )
-    rows = exact.collect()
-    users = [str(r["user_id"]) for r in rows]
-    est = kernel.count_strings(users, as_of=t1) if users else np.array([])
-    out = [
-        Row(
-            user_id=int(r["user_id"]),
-            recent_cnt=int(r["recent_cnt"]),
-            est_at_least_recent=bool(e >= r["recent_cnt"]),
-        )
-        for r, e in zip(rows, est)
-    ]
-    return spark.createDataFrame(out).select("user_id", "recent_cnt", "est_at_least_recent")
+    # distributed windowed-count probe (count_asof_udf), never a driver loop
+    est = probe.count_asof_udf(spark, kernel, t1)(
+        F.col("user_id").cast("string")
+    )
+    return exact.select(
+        "user_id",
+        "recent_cnt",
+        (est >= F.col("recent_cnt")).alias("est_at_least_recent"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -294,10 +310,18 @@ def q_bloom_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_j = ka.jaccard(kb)
     j_ok = bool(abs(est_j - true_j) <= 10.0)
 
-    both = [str(i) for i in a_df.union(b_df).distinct().toArrow().column(0).to_pylist()]
     merged = ka  # merge mutates — ka already holds click set
     merged.merge(kb)
-    union_complete = bool(merged.contains_strings(both).all()) if both else True
+    # distributed no-false-negative check: probe UDF + bool_and aggregate
+    # (round 1 collected the whole union key list to the driver)
+    union_complete = bool(
+        a_df.union(b_df)
+        .distinct()
+        .select(
+            F.bool_and(probe.probe_column(spark, merged, "user_id")).alias("ok")
+        )
+        .first()["ok"]
+    )
     return spark.createDataFrame(
         [
             Row(
@@ -522,7 +546,7 @@ def q_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH ANN vs the brute-force baseline: sub-linear scan fraction with
     bounded recall (random 64-dim data is LSH-hostile; the bound reflects
     the 1-bit multiprobe scan fraction)."""
-    from sketchlib.pipeline.similarity import cosine_topk, lsh_ann_topk, srp_bucket_col
+    from sketchlib.pipeline.similarity import cosine_topk, lsh_ann_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     qt = emb.filter(F.col("vec_id") < 5).toArrow()
@@ -534,9 +558,6 @@ def q_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = {(q, n) for q, n, _ in lsh_ann_topk(emb, queries, k=5, planes=8)}
     recall = len(exact & approx) / max(len(exact), 1)
     total = emb.count()
-    scanned = emb.withColumn(
-        "__b", srp_bucket_col(spark, "embedding", 64, 8, 7)
-    )
     return spark.createDataFrame(
         [
             Row(
@@ -569,9 +590,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").alias("sum_tokens"),
             F.sum("nch").alias("sum_chars"),
             F.sum("npu").alias("sum_punct"),
-            F.round(F.avg(F.col("nal") / F.col("nch")), 4).alias("avg_alpha_ratio"),
+            # integer sum, NOT a rounded float average: float summation order
+            # depends on partitioning, and a 4-dp boundary flip breaks the
+            # driver's value hash (round-1 failure mode)
+            F.sum("nal").alias("sum_alpha"),
         )
-        .select("source", "n_docs", "sum_tokens", "sum_chars", "sum_punct", "avg_alpha_ratio")
+        .select("source", "n_docs", "sum_tokens", "sum_chars", "sum_punct", "sum_alpha")
     )
 
 
@@ -638,20 +662,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = make_media_df(spark, docs, "text", "doc_id")
     feats = image_features(media, resize_to=4, fake=True)
     frames = frame_sample(media, every=7, fake=True)
-    n_media = feats.count()
-    total_bytes = feats.agg(F.sum("n_bytes")).first()[0]
-    feat_dim = len(feats.first()["feat"])
-    n_frames = frames.count()
-    return spark.createDataFrame(
-        [
-            Row(
-                n_media=int(n_media),
-                total_bytes=int(total_bytes),
-                feat_dim=int(feat_dim),
-                n_sampled_frames=int(n_frames),
-            )
-        ]
-    ).select("n_media", "total_bytes", "feat_dim", "n_sampled_frames")
+    # one deterministic all-integer aggregation per branch, joined into one
+    # row — the round-1 version ran four separate actions over the uncached
+    # mapInPandas chain (4x recompute + a hash-fragile driver-side Row)
+    f_agg = feats.agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max(F.size("feat")).alias("feat_dim"),
+    )
+    s_agg = frames.agg(F.count("*").alias("n_sampled_frames"))
+    return f_agg.crossJoin(s_agg).select(
+        "n_media", "total_bytes", "feat_dim", "n_sampled_frames"
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -871,7 +893,7 @@ ORACLES: dict[str, str] = {
                SUM(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS sum_tokens,
                SUM(length(text)) AS sum_chars,
                SUM(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS sum_punct,
-               ROUND(AVG((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text)), 4) AS avg_alpha_ratio
+               SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS sum_alpha
         FROM documents GROUP BY source
     """,
     "lang_id": """
@@ -889,7 +911,7 @@ ORACLES: dict[str, str] = {
     """,
     "multimodal_features": """
         SELECT COUNT(*) AS n_media,
-               SUM(length(text)) AS total_bytes,
+               SUM(octet_length(encode(text))) AS total_bytes,
                3 AS feat_dim,
                SUM((length(text) % 50 + 1 + 6) // 7) AS n_sampled_frames
         FROM documents

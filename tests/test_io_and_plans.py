@@ -50,9 +50,21 @@ def test_roundtrip_per_turn_invariant(spark, table):
 def test_day_partition_pruning(spark, table):
     df = table.read_days("2026-01-02", "2026-01-03")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # day is a partition column → PartitionFilters, not a post-scan filter
-    assert "PartitionFilters" in plan
+    # day is a partition column → a NON-EMPTY PartitionFilters mentioning day
+    # (the round-1 test matched "PartitionFilters: []" too — vacuous)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:800]
+    assert "day" in m.group(1), m.group(0)
+    assert m.group(1).strip(), "PartitionFilters is empty — day pruning regressed"
     assert df.count() > 0
+    # the pruned read returns exactly the rows whose ts falls in the range
+    full = table.read()
+    want = full.filter(
+        (F.to_date("ts") >= F.lit("2026-01-02")) & (F.to_date("ts") <= F.lit("2026-01-03"))
+    ).count()
+    assert df.count() == want
 
 
 def test_bucket_routing_prunes(spark, table):
