@@ -113,6 +113,46 @@ class CountingBloomFilter:
         pos = self._positions(data, offsets)
         self.counters[pos.ravel()] = 0
 
+    def lookup_or_add(self, data, offsets) -> np.ndarray:
+        """Check-then-increment (cbloom_lookup_or_add, src/cbloom.c:506-524):
+        returns was-present bools; every position is incremented regardless,
+        and — as in the reference's sequential loop — a position's check sees
+        increments made earlier in the same call.  Local-object maintenance
+        op (the distributed path uses update + contains)."""
+        pos = self._positions(data, offsets)
+        out = np.empty(pos.shape[0], dtype=bool)
+        cap = self.cap
+        for i in range(pos.shape[0]):
+            present = True
+            for p in pos[i]:
+                if self.counters[p] == 0:
+                    present = False
+                if int(self.counters[p]) < cap:
+                    self.counters[p] += 1
+            out[i] = present
+        return out
+
+    def lookup_or_add_strings(self, keys) -> np.ndarray:
+        return self.lookup_or_add(*mmh3.pack_strings(keys))
+
+    def clear_if_count_above(self, data, offsets, threshold: int) -> np.ndarray:
+        """If ANY of an element's k counters exceeds ``threshold``, zero all
+        k (cbloom_clear_if_count_above, src/cbloom.c:598-622 — marked
+        'TODO: test' there).  Sequential per element as the reference; returns
+        cleared? bools."""
+        pos = self._positions(data, offsets)
+        out = np.empty(pos.shape[0], dtype=bool)
+        for i in range(pos.shape[0]):
+            cells = self.counters[pos[i]]
+            hit = bool((cells > threshold).any())
+            out[i] = hit
+            if hit:
+                self.counters[pos[i]] = 0
+        return out
+
+    def clear_if_count_above_strings(self, keys, threshold: int) -> np.ndarray:
+        return self.clear_if_count_above(*mmh3.pack_strings(keys), threshold=threshold)
+
     # -- probe ------------------------------------------------------------
     def count(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """Min over the k counters — the CMS-style point estimate

@@ -122,6 +122,21 @@ class TdBloomFilter:
         return (la >= start) & (la <= end)
 
     # -- maintenance ------------------------------------------------------
+    def reset_if_expired(self, data, offsets, as_of: int) -> np.ndarray:
+        """Re-stamp expired elements at ``as_of`` (tdbloom_reset_if_expired,
+        src/tdbloom.c:462-469: has_expired → add(now); 'TODO: test' in C).
+        ``as_of`` plays the reference's wall-clock 'now' in the event-time
+        model.  Returns was-reset bools."""
+        exp = self.has_expired(data, offsets, as_of)
+        if exp.any():
+            pos = mmh3.positions(data, offsets, self.k, self.m, self.spec.seed)
+            tick = np.int32(int(as_of) - self.spec.start_time + 1)
+            np.maximum.at(self.ticks, pos[exp].ravel(), tick)
+        return exp
+
+    def reset_if_expired_strings(self, keys, as_of: int) -> np.ndarray:
+        return self.reset_if_expired(*mmh3.pack_strings(keys), as_of=as_of)
+
     def count_expired(self, as_of: int) -> int:
         """Stale nonzero cells (tdbloom_count_expired, src/tdbloom.c:219-240)."""
         T = int(as_of) - self.spec.start_time

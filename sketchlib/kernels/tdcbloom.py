@@ -124,6 +124,78 @@ class TdCBloomFilter:
         return nonzero & stale_any
 
     # -- maintenance ------------------------------------------------------
+    def reset_if_expired(self, data, offsets, as_of: int) -> np.ndarray:
+        """has_expired → add at ``as_of`` (counter increment + fresh stamp),
+        per tdcbloom_reset_if_expired, src/tdcbloom.c:694-700 ('TODO test' in
+        C).  Returns was-reset bools."""
+        exp = self.has_expired(data, offsets, as_of)
+        if exp.any():
+            pos = self._positions(data, offsets)
+            rows = pos[exp].ravel()
+            tick = np.int32(int(as_of) - self.spec.start_time + 1)
+            _scatter_sat_add(self.counters, rows, 1, self.cap)
+            np.maximum.at(self.ticks, rows, tick)
+        return exp
+
+    def reset_if_expired_strings(self, keys, as_of: int) -> np.ndarray:
+        return self.reset_if_expired(*mmh3.pack_strings(keys), as_of=as_of)
+
+    def adjust_timeout(self, new_timeout: int, as_of: int) -> int:
+        """Change the decay window and reap entries expired under the NEW
+        policy (tdcbloom_adjust_timeout, src/tdcbloom.c:303-320) — the reap
+        step is what a spec rebuild would lose.  The reference's modular
+        elapsed-time arithmetic reduces to ``age > new_timeout`` on our
+        unwrapped ticks.  Returns the number of reaped cells.  Note: the new
+        spec may auto-pick a different timer width for compact export; the
+        in-memory int32 ticks are unaffected."""
+        import dataclasses
+
+        self.spec = dataclasses.replace(self.spec, timeout=int(new_timeout))
+        T = int(as_of) - self.spec.start_time
+        age = np.int64(T) - (self.ticks.astype(np.int64) - 1)
+        stale = (self.ticks > 0) & ((age < 0) | (age > int(new_timeout)))
+        n = int(np.count_nonzero(stale))
+        self.counters[stale] = 0
+        self.ticks[stale] = 0
+        return n
+
+    def age_element(self, data, offsets, age_amount: int) -> np.ndarray:
+        """Subtract ``age_amount`` seconds from each of an element's k cell
+        timers (tdcbloom_age_element, src/tdcbloom.c:843-873; 'TODO: test' in
+        C).  Walks cells in hash order and stops at the first zero counter,
+        returning False — cells already walked STAY aged, exactly as the
+        reference's early return leaves them.  Timer floor is 0 (reference:
+        'expired. reset timer')."""
+        pos = self._positions(data, offsets)
+        out = np.empty(pos.shape[0], dtype=bool)
+        amt = int(age_amount)
+        for i in range(pos.shape[0]):
+            ok = True
+            for p in pos[i]:
+                if self.counters[p] == 0:
+                    ok = False
+                    break
+                t = int(self.ticks[p])
+                self.ticks[p] = np.int32(t - amt) if t > amt else np.int32(0)
+            out[i] = ok
+        return out
+
+    def age_element_strings(self, keys, age_amount: int) -> np.ndarray:
+        return self.age_element(*mmh3.pack_strings(keys), age_amount=age_amount)
+
+    def age_and_remove(self, max_age: int, as_of: int) -> int:
+        """Zero counter+timer of every occupied cell older than ``max_age``
+        as-of T (tdcbloom_age_and_remove, src/tdcbloom.c:893-918; 'TODO test'
+        in C).  A zeroed timer (from age_element) counts as ancient, as the
+        reference's ``now - 0`` does.  Returns cells removed."""
+        T = int(as_of) - self.spec.start_time
+        age = np.int64(T) - (self.ticks.astype(np.int64) - 1)
+        kill = (self.counters > 0) & ((self.ticks == 0) | (age > int(max_age)))
+        n = int(np.count_nonzero(kill))
+        self.counters[kill] = 0
+        self.ticks[kill] = 0
+        return n
+
     def clear_expired(self, as_of: int) -> int:
         """Zero counter+tick of stale cells (tdcbloom_clear_expired,
         src/tdcbloom.c:214-233)."""

@@ -289,45 +289,61 @@ def verify_pairs_jaccard(
 # ---------------------------------------------------------------------------
 
 def duplicate_clusters(
-    ids: DataFrame, pairs: DataFrame, max_iters: int = 20
+    ids: DataFrame, pairs: DataFrame, max_iters: int = 50
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, canonical_id), where
     canonical_id is the cluster minimum — the keep-one step after pair
-    detection.  Iterative min-label propagation in pure DataFrame ops
-    (converges in O(log(diameter)) rounds; dup clusters are tiny so a handful
-    of rounds suffices; raises if not converged within ``max_iters``).
+    detection.
+
+    Min-label propagation WITH pointer jumping: each round a node takes the
+    min label over its neighbors, then labels chase one level of indirection
+    (label := label-of-label).  Plain one-hop propagation needs O(diameter)
+    rounds (a 25-doc chain would not converge in 20); the pointer-jump step
+    halves remaining path lengths, giving O(log diameter).
+
+    Each round materializes exactly ONE DataFrame (localCheckpoint) carrying
+    a ``changed`` flag, so convergence detection is a metadata-cheap action
+    on the materialized result — the round-1 version ran the full join job
+    twice per round (once for the change count, once for the checkpoint).
 
     ``ids``: one column ``id``; ``pairs``: columns ``id_a``, ``id_b``."""
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col("id"), F.col("id").alias("label"))
     for _ in range(max_iters):
-        # each node adopts the min label among itself and its neighbors
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        hopped = labels.join(neighbor_min, labels.id == neighbor_min.u, "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("old_label"),
+        )
+        # pointer jump: label := label(label) — chase one indirection level
+        lab2 = hopped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            hopped.join(lab2, hopped.label == lab2.pid, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+                (F.coalesce(F.col("plabel"), F.col("label")) != F.col("old_label")).alias(
+                    "__changed"
+                ),
             )
+            .localCheckpoint(eager=True)  # ONE job per round; cuts lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        changed = new_labels.filter("__changed").limit(1).count()  # on materialized rows
+        labels = new_labels.select("id", "label")
         if changed == 0:
             return labels.select("id", F.col("label").alias("canonical_id"))
     raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")

@@ -163,6 +163,97 @@ def lsh_ann_topk(
     return cosine_topk(candidates, queries, k, id_col, vec_col)
 
 
+def near_dup_pairs_bucketed(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    seed: int = 7,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """All pairs with cosine ≥ τ, the SCALE path: SRP-bucket every vector
+    (each vector also emitted to its 1-bit-flip neighbor buckets —
+    symmetric multiprobe covers bucket-code Hamming ≤ 2·multiprobe_bits),
+    exact GEMM pairs inside each bucket via groupBy(bucket).applyInArrow,
+    deduped across buckets.  No driver collect, no full-matrix broadcast:
+    work is quadratic per bucket, not per corpus.  For cos ≥ 0.999 pairs at
+    planes=12 the 1-bit multiprobe recall is ≥ 0.999 (P[plane splits a
+    2.6-degree pair] ≈ 0.014); identical vectors always share every bucket."""
+    spark = df.sparkSession
+    first = df.select(vec_col).first()
+    if first is None:
+        return spark.createDataFrame([], "id_a long, id_b long, cos double")
+    dim = len(first[0])
+
+    proj = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("__b0", srp_bucket_col(spark, "v", dim, planes, seed))
+    bucket_cols = [F.col("__b0")]
+    if multiprobe_bits >= 1:
+        bucket_cols += [
+            F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
+        ]
+    exploded = proj.select(
+        "id", "v", F.explode(F.array(*bucket_cols)).alias("__b")
+    )
+
+    thr = float(threshold)
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        arr = tbl.column("v")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        M = _normalize(
+            arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, -1)
+        )
+        sims = M @ M.T
+        ii, jj = np.nonzero(sims >= thr)
+        ia, ja = ids[ii], ids[jj]
+        keep = ia < ja
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep], type=pa.int64()),
+                "id_b": pa.array(ja[keep], type=pa.int64()),
+                "cos": pa.array(np.round(sims[ii, jj][keep], 6), type=pa.float64()),
+            }
+        )
+
+    pairs = exploded.groupBy("__b").applyInArrow(
+        bucket_pairs, "id_a long, id_b long, cos double"
+    )
+    # a pair can surface in several (multiprobe) buckets — dedupe; max() makes
+    # the value deterministic even if per-bucket GEMM blocking differs in the
+    # last bit
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_cap: int = 200_000,
+    **bucket_kw,
+) -> DataFrame:
+    """Auto-select: exact broadcast-GEMM under ``exact_cap`` rows (cheap and
+    recall-1), SRP-bucketed beyond it (the 100-TB path)."""
+    n = df.count()
+    if n <= exact_cap:
+        return near_dup_pairs_exact(df, threshold, id_col, vec_col)
+    return near_dup_pairs_bucketed(df, threshold, id_col, vec_col, **bucket_kw)
+
+
 def near_dup_pairs_exact(
     df: DataFrame,
     threshold: float = 0.95,
@@ -172,8 +263,8 @@ def near_dup_pairs_exact(
     """All pairs with cosine ≥ τ: each partition block GEMMs against the
     broadcast full matrix and emits its (i < j) hits.  Exact; the broadcast
     bounds this to corpora whose embeddings fit an executor (~1M × 64 f32 =
-    256 MB) — beyond that, pre-bucket with srp_bucket_col and run per
-    bucket."""
+    256 MB) — beyond that use near_dup_pairs_bucketed (or the auto-selecting
+    near_dup_pairs)."""
     spark = df.sparkSession
     tbl = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")

@@ -513,14 +513,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.999 on a corpus with every vector
-    duplicated (+10000)."""
-    from sketchlib.pipeline.similarity import near_dup_pairs_exact
+    duplicated (+10000) — via the SRP-bucketed scale path (identical vectors
+    share every bucket, so the bucketed result equals the exact oracle
+    here; recall vs the exact path is property-tested separately)."""
+    from sketchlib.pipeline.similarity import near_dup_pairs_bucketed
 
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.unionByName(
         emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     )
-    pairs = near_dup_pairs_exact(corpus, threshold=0.999)
+    pairs = near_dup_pairs_bucketed(corpus, threshold=0.999)
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 

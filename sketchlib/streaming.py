@@ -58,17 +58,24 @@ def sketch_sink(store: SketchStore, jobs: list[SketchJob], query_name: str):
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= _last_epoch():
-            return  # replayed batch — already folded
+            return  # replayed batch, whole-batch fast path — already folded
         results = build_many(batch_df, jobs)
         for job in jobs:
             kernel, rows = results[job.name]
             try:
                 current, metrics = store.load_kernel(job.name)
+                # per-kernel epoch guard: a crash after saving SOME kernels
+                # but before the epoch marker must not double-fold the saved
+                # ones on replay (each save_kernel is atomic tmp+rename, so
+                # last_epoch and the folded state always move together)
+                if metrics.get("last_epoch", -1) >= epoch_id:
+                    continue
                 current.merge(kernel)
                 metrics["rows"] = metrics.get("rows", 0) + rows
                 metrics["epochs"] = metrics.get("epochs", 0) + 1
             except FileNotFoundError:
                 current, metrics = kernel, {"rows": rows, "epochs": 1}
+            metrics["last_epoch"] = epoch_id
             store.save_kernel(job.name, current, metrics)
         tmp = epoch_file + ".tmp"
         with open(tmp, "w") as f:

@@ -89,3 +89,26 @@ def test_min_count_statistical():
     assert (est >= truth).all(), "min-count must never undercount"
     overcount_rate = (est > truth).mean()
     assert overcount_rate <= 0.015, overcount_rate
+
+
+def test_lookup_or_add():
+    """cbloom_lookup_or_add (src/cbloom.c:506-524): absent -> False + insert;
+    present -> True + counters still bumped."""
+    cbf = CountingBloomFilter(CBloomSpec(50, 0.01, counter_bits=16))
+    first = cbf.lookup_or_add_strings(["a", "b"])
+    assert list(first) == [False, False]
+    again = cbf.lookup_or_add_strings(["a", "b", "c"])
+    assert list(again) == [True, True, False]
+    # two lookup_or_adds counted both times (increment happens regardless)
+    assert list(cbf.count_strings(["a", "b"])) == [2, 2]
+
+
+def test_clear_if_count_above():
+    """cbloom_clear_if_count_above (src/cbloom.c:598-622): any counter above
+    threshold -> all k zeroed; below -> untouched."""
+    cbf = CountingBloomFilter(CBloomSpec(50, 0.01, counter_bits=16))
+    cbf.update_strings(["hot"] * 5 + ["cold"])
+    assert list(cbf.clear_if_count_above_strings(["cold"], 10)) == [False]
+    assert cbf.count_strings(["cold"])[0] >= 1  # untouched
+    assert list(cbf.clear_if_count_above_strings(["hot"], 3)) == [True]
+    assert cbf.count_strings(["hot"])[0] == 0

@@ -175,3 +175,74 @@ def test_multimodal_shapes_and_stub(spark, docs):
     p1 = multimodal.decode_image(b"seed", {"height": 2, "width": 2, "channels": 3}, fake=True)
     p2 = multimodal.decode_image(b"seed", {"height": 2, "width": 2, "channels": 3}, fake=True)
     assert (p1 == p2).all()
+
+
+def test_near_dup_pairs_bucketed_matches_exact(spark, emb):
+    """The SRP-bucketed scale path must find identical pairs with recall 1
+    and perturbed near-dups (cos ~ 0.9992) with recall >= 0.95 vs exact."""
+    import pandas as pd
+
+    base = emb.limit(200).toPandas()
+    rng = np.random.default_rng(11)
+    pert = base.copy()
+    pert["vec_id"] = pert["vec_id"] + 10000
+    pert["embedding"] = [
+        (np.asarray(v, dtype=np.float64)
+         + 0.04 * np.linalg.norm(v) * rng.standard_normal(len(v)) / np.sqrt(len(v))
+         ).tolist()
+        for v in base["embedding"]
+    ]
+    corpus = spark.createDataFrame(pd.concat([base, pert], ignore_index=True))
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.near_dup_pairs_exact(corpus, threshold=0.999).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.near_dup_pairs_bucketed(corpus, threshold=0.999).collect()
+    }
+    assert exact, "fixture produced no near-dup pairs"
+    found = set(bucketed) & set(exact)
+    assert len(found) / len(exact) >= 0.95, f"recall {len(found)}/{len(exact)}"
+    assert not (set(bucketed) - set(exact)), "bucketed emitted non-exact pairs"
+    for k in found:
+        assert abs(bucketed[k] - exact[k]) < 1e-9
+
+
+def test_near_dup_pairs_auto_selector(spark, emb):
+    corpus = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 10000))
+    n = emb.count()
+    small = similarity.near_dup_pairs(corpus, threshold=0.999, exact_cap=10**6)
+    big = similarity.near_dup_pairs(corpus, threshold=0.999, exact_cap=1)
+    assert small.count() == n and big.count() == n
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """A 30-node chain (diameter 29) must converge — pointer jumping gives
+    O(log d) rounds; plain one-hop propagation would exhaust 20 iters."""
+    n = 30
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["canonical_id"] for r in dedup.duplicate_clusters(ids, pairs, max_iters=12).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_short_doc_signatures_position_independent(spark):
+    """Docs shorter than shingle_k must hash identically regardless of what
+    follows them in the Arrow buffer (round-1 leak: the k-byte window mask
+    read the next doc's bytes)."""
+    a = spark.createDataFrame(
+        [(1, "ab"), (2, "SUFFIX-ONE-XXXXX")], "doc_id long, text string"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(3, "ab"), (4, "totally-different-suffix")], "doc_id long, text string"
+    ).coalesce(1)
+    sig_a = dedup.minhash_signatures(a, "text", "doc_id", shingle_k=5).filter("id = 1").first()["sig"]
+    sig_b = dedup.minhash_signatures(b, "text", "doc_id", shingle_k=5).filter("id = 3").first()["sig"]
+    assert sig_a == sig_b
+    sim_a = dedup.simhash_signatures(a, "text", "doc_id", shingle_k=4).filter("id = 1").first()["sim"]
+    sim_b = dedup.simhash_signatures(b, "text", "doc_id", shingle_k=4).filter("id = 3").first()["sim"]
+    assert sim_a == sim_b

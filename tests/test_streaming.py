@@ -133,3 +133,23 @@ def test_conversation_state(spark, tr_dir):
     q.stop()
     assert gotd == wantd
     assert expired == len(wantd), "idle timeout must expire every conversation"
+
+
+def test_partial_crash_replay_no_double_fold(spark, tr_dir, tmp_path):
+    """Crash AFTER a kernel save but BEFORE the epoch marker: the replayed
+    batch must not re-fold already-updated kernels (per-kernel last_epoch
+    guard — the marker file alone is not atomic across kernels)."""
+    import os
+
+    store = SketchStore(str(tmp_path / "store3"))
+    jobs = [SketchJob("cms_tool", CmsSpec(epsilon=0.01, delta=0.1), key="tool")]
+    sink = streaming.sketch_sink(store, jobs, "q3")
+    df = spark.read.parquet(tr_dir)
+    sink(df, 0)
+    # simulate the crash window: kernel saved, epoch marker lost
+    os.remove(os.path.join(store.root, "q3.epoch"))
+    k1, m1 = store.load_kernel("cms_tool")
+    sink(df, 0)  # replay of epoch 0
+    k2, m2 = store.load_kernel("cms_tool")
+    assert k2.serialize() == k1.serialize()
+    assert m2["rows"] == m1["rows"]

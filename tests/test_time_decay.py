@@ -160,3 +160,62 @@ def _pack(keys):
     from sketchlib import mmh3
 
     return mmh3.pack_strings(keys)
+
+
+def test_tdbloom_reset_if_expired():
+    """tdbloom_reset_if_expired (src/tdbloom.c:462-469): expired -> re-stamp
+    at as_of and report True; fresh or absent -> False, untouched."""
+    spec = TdBloomSpec(50, 0.01, timeout=10, start_time=BASE)
+    f = TdBloomFilter(spec)
+    f.update_strings(["old", "fresh"], [BASE + 1, BASE + 95])
+    as_of = BASE + 100
+    got = f.reset_if_expired_strings(["old", "fresh", "never"], as_of)
+    assert list(got) == [True, False, False]
+    # the expired element is fresh again as-of the reset time
+    assert bool(f.contains_strings(["old"], as_of=as_of)[0])
+    assert not bool(f.contains_strings(["never"], as_of=as_of)[0])
+
+
+def test_tdcbloom_reset_if_expired():
+    spec = TdCBloomSpec(50, 0.01, timeout=10, counter_bits=16, start_time=BASE)
+    f = TdCBloomFilter(spec)
+    f.update_strings(["old"] * 3, [BASE + 1] * 3)
+    as_of = BASE + 100
+    assert list(f.reset_if_expired_strings(["old", "never"], as_of)) == [True, False]
+    # reference resets via tdcbloom_add: counter bumped 3 -> 4, stamp fresh
+    assert int(f.count_strings(["old"], as_of=as_of)[0]) == 4
+
+
+def test_tdcbloom_adjust_timeout_reaps():
+    """tdcbloom_adjust_timeout (src/tdcbloom.c:303-320): shrinking the window
+    reaps entries expired under the NEW policy."""
+    spec = TdCBloomSpec(50, 0.01, timeout=100, counter_bits=16, start_time=BASE)
+    f = TdCBloomFilter(spec)
+    f.update_strings(["a"], [BASE + 10])
+    f.update_strings(["b"], [BASE + 90])
+    as_of = BASE + 95
+    assert bool(f.contains_strings(["a"], as_of=as_of)[0])
+    reaped = f.adjust_timeout(20, as_of=as_of)  # a is 85s old -> reaped
+    assert reaped >= spec.k
+    assert f.spec.timeout == 20
+    assert not bool(f.contains_strings(["a"], as_of=as_of)[0])
+    assert bool(f.contains_strings(["b"], as_of=as_of)[0])
+
+
+def test_tdcbloom_age_element_and_age_and_remove():
+    spec = TdCBloomSpec(50, 0.01, timeout=50, counter_bits=16, start_time=BASE)
+    f = TdCBloomFilter(spec)
+    f.update_strings(["x"], [BASE + 60])
+    as_of = BASE + 70
+    assert bool(f.contains_strings(["x"], as_of=as_of)[0])
+    # age by 40s: now 50s old -> still inside timeout=50
+    assert bool(f.age_element_strings(["x"], 40)[0])
+    assert bool(f.contains_strings(["x"], as_of=as_of)[0])
+    # absent element: not aged, returns False (src/tdcbloom.c:858-860)
+    assert not bool(f.age_element_strings(["missing"], 5)[0])
+    # age past the window, then reap cells older than 55s
+    assert bool(f.age_element_strings(["x"], 30)[0])
+    removed = f.age_and_remove(55, as_of=as_of)
+    assert removed >= spec.k
+    assert not bool(f.contains_strings(["x"], as_of=as_of)[0])
+    assert int(f.counters.sum()) == 0
