@@ -82,20 +82,37 @@ def bench_transcripts(spark) -> dict:
         ),
     ]
     results = build_many(tr, jobs)  # warm (JIT, workers, footers)
-    # min of 3: this host is time-shared and identical runs vary up to 8x
-    # from tenant bursts — min isolates the engine
-    dt_suite = min(
-        _timed(lambda: build_many(tr, jobs)) for _ in range(3)
-    )
-    dt_single = min(
-        _timed(lambda: build_many(tr, jobs[:1])) for _ in range(2)
-    )
+
+    # Headline: the engine's own configuration at the driver's local[32]
+    # setting (build_many's state-size-aware partial cap picks the partial
+    # count).  Scaling evidence: the SAME job FORCED to N=2 and 4N=8 partial
+    # tasks — the north rule's two-cluster-size criterion as two local
+    # parallelism levels.  All reps interleaved, min-of-N: this host is
+    # time-shared and identical runs vary up to 10x under tenant bursts
+    # (round 1's serial min-of-3 caught a burst and reported 18.7s for a
+    # ~2s build) — the min over interleaved reps isolates the engine.
+    reps = int(os.environ.get("SKETCHLIB_BENCH_REPS", "4"))
+    t_auto, t_n, t_4n = [], [], []
+    for _ in range(reps):
+        t_auto.append(_timed(lambda: build_many(tr, jobs)))
+        t_n.append(_timed(lambda: build_many(tr, jobs, parallelism=2)))
+        t_4n.append(_timed(lambda: build_many(tr, jobs, parallelism=8)))
+    dt_suite, dt_n, dt_4n = min(t_auto), min(t_n), min(t_4n)
+    dt_single = min(_timed(lambda: build_many(tr, jobs[:1])) for _ in range(2))
 
     hll = results["hll_conv"][0]
     return {
         "transcripts_rows": n,
         "suite_build_sec": round(dt_suite, 3),
         "turns_per_sec_suite": round(n / dt_suite),
+        "suite_build_sec_n2": round(dt_n, 3),
+        "turns_per_sec_n2": round(n / dt_n),
+        "suite_build_sec_n8": round(dt_4n, 3),
+        "turns_per_sec_n8": round(n / dt_4n),
+        # throughput ratio N=2 -> 4N=8 over the 4x core ratio (1.0 = perfect);
+        # this single-box number is floored by the shared-DRAM ceiling the
+        # no-Spark control in BENCH/BASELINE.md measures at ~0.6
+        "scaling_efficiency_n_to_4n": round((n / dt_4n) / (n / dt_n) / 4.0, 3),
         "turns_per_sec_single_hll": round(n / dt_single),
         "hll_conv_estimate": round(hll.estimate()),
     }
@@ -104,12 +121,33 @@ def bench_transcripts(spark) -> dict:
 def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    # untimed page-cache warmup: the first query otherwise pays the cold
+    # read of every sf-dir parquet it touches (20s on hll_distinct_users in
+    # round 1), which measures the disk, not the engine.  Plain byte reads —
+    # no Spark involved.
+    import glob as _glob
+
+    for f in _glob.glob(f"{SF_DIR}/*.parquet") + _glob.glob(f"{SF_DIR}/*.parquet/*"):
+        try:
+            if os.path.isfile(f):
+                with open(f, "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+        except OSError:
+            pass
+
+    # min-of-2 per query: a single-shot timing on this time-shared host can
+    # catch a tenant burst and report 10-50x the engine's number (lang_id
+    # measured 3.3s and 54.9s in back-to-back suite runs)
+    runs = int(os.environ.get("SKETCHLIB_QUERY_REPS", "2"))
     out = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.collect()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     return out
 
 

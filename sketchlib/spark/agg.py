@@ -66,15 +66,68 @@ class SketchJob:
 
 
 
-def _coalesce_to_parallelism(df: DataFrame) -> DataFrame:
-    """One partial state per task slot, not per input split: with S splits
-    and C cores, S ≫ C would produce S states to compress/transfer/merge —
-    pure overhead, since a task can fold many splits into one kernel.
-    coalesce (no shuffle) caps partials at the session's parallelism."""
+def _input_bytes(df: DataFrame) -> int:
+    """Best-effort size of the files behind a DataFrame (0 when unknown —
+    in-memory relations, streams)."""
+    import os
+
+    try:
+        total = 0
+        for f in df.inputFiles():
+            p = f
+            if p.startswith("file:"):
+                p = p[5:].lstrip("/")
+                p = "/" + p
+            if os.path.exists(p):
+                total += os.path.getsize(p)
+        return total
+    except Exception:  # noqa: BLE001
+        return 0
+
+
+def _target_partials(df: DataFrame, state_bytes: int, parallelism: int | None) -> int:
+    """How many partial states to build.
+
+    More partials = more scan parallelism but also more state to serialize,
+    compress, transfer, and fold — per-task overhead ∝ state_bytes.  When the
+    input is small relative to the sketch state (bench scale: ~150 MB scan vs
+    ~12 MB/task of state), full fan-out LOSES: measured 6.4s at 32 partials
+    vs 1.8s at 8 for the same 3M-row build.  At 100 TB the same rule yields
+    full parallelism (input_bytes/(8*state_bytes) ≫ cores).  Rule: each
+    partial task should scan at least 8x its own state size; floor 8 (or the
+    session parallelism if smaller), cap at session parallelism and the
+    input's own split count.  An explicit ``parallelism`` overrides."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() > par:
-        return df.coalesce(par)
+    nparts = df.rdd.getNumPartitions()
+    cap = min(par, nparts)
+    if parallelism is not None:
+        return max(1, min(int(parallelism), nparts))
+    ib = _input_bytes(df)
+    if not ib or not state_bytes:
+        return cap
+    floor = min(8, cap)
+    budget = ib // (8 * state_bytes)
+    return int(max(floor, min(cap, budget)))
+
+
+def _coalesce_to_parallelism(
+    df: DataFrame, state_bytes: int = 0, parallelism: int | None = None
+) -> DataFrame:
+    """Cap partial count per _target_partials via coalesce (no shuffle)."""
+    target = _target_partials(df, state_bytes, parallelism)
+    if df.rdd.getNumPartitions() > target:
+        return df.coalesce(target)
     return df
+
+
+def _fresh_state_bytes(specs_json: list[str]) -> int:
+    """Serialized size of one empty kernel per spec — the per-task state
+    cost driving _target_partials (allocation of zeros; cheap)."""
+    total = 0
+    for sj in specs_json:
+        spec = BaseSpec.from_json(sj)
+        total += len(KERNEL_BY_KIND[spec.kind](spec).serialize())
+    return total
 
 
 def _as_key_col(key) -> Column:
@@ -103,12 +156,14 @@ def sketch_partials(
     key=None,
     ts=None,
     values=None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Build-stage: one serialized partial sketch row per input partition.
 
     ``key``: column/expression to sketch (bloom family, HLL, CMS, cuckoo).
     ``ts``: event-time column (time-decaying kinds; epoch-second resolution).
     ``values``: numeric column (KLL / t-digest).
+    ``parallelism``: explicit partial count (default: state-size-aware auto).
     """
     cols: list[Column] = []
     wants_key = key is not None
@@ -125,9 +180,10 @@ def sketch_partials(
     proj = df.select(*cols)
     if wants_key:
         proj = proj.filter(F.col("__key").isNotNull())
-    proj = _coalesce_to_parallelism(proj)
-
     spec_json = spec.to_json()
+    proj = _coalesce_to_parallelism(
+        proj, _fresh_state_bytes([spec_json]), parallelism
+    )
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         kernel = _new_kernel(spec_json)
@@ -162,7 +218,12 @@ def sketch_partials(
     return proj.mapInArrow(build, _PARTIAL_SCHEMA)
 
 
-def build_many(df: DataFrame, jobs: list[SketchJob], fanin: int = 64) -> dict[str, object]:
+def build_many(
+    df: DataFrame,
+    jobs: list[SketchJob],
+    fanin: int = 64,
+    parallelism: int | None = None,
+) -> dict[str, object]:
     """Build N sketches in ONE pass over the data: one column-pruned scan,
     one Arrow crossing, N kernels updated per batch — the shape that matters
     at 100 TB, where the scan dominates and per-sketch passes would multiply
@@ -195,8 +256,10 @@ def build_many(df: DataFrame, jobs: list[SketchJob], fanin: int = 64) -> dict[st
         if job.values is not None:
             _register(job.values, "values", ji)
 
-    proj = _coalesce_to_parallelism(df.select(*cols))
     specs_json = [j.spec.to_json() for j in jobs]
+    proj = _coalesce_to_parallelism(
+        df.select(*cols), _fresh_state_bytes(specs_json), parallelism
+    )
     roles = [aliases[i] for i in range(len(jobs))]
 
     out_fields = ", ".join(f"state_{i} binary" for i in range(len(jobs))) + ", rows bigint"
@@ -322,13 +385,19 @@ def build_sketch(
     ts=None,
     values=None,
     fanin: int = 64,
+    parallelism: int | None = None,
 ):
     """End-to-end: build partials, merge (tree level(s) Spark-side if needed,
     final fold on the driver), return ``(kernel, total_rows)``."""
-    partials = sketch_partials(df, spec, key=key, ts=ts, values=values)
+    partials = sketch_partials(
+        df, spec, key=key, ts=ts, values=values, parallelism=parallelism
+    )
     # Spark-side combine level(s) while too many partials for the driver —
     # planned up front from the partition count so nothing recomputes.
-    nparts = df.rdd.getNumPartitions()
+    nparts = min(
+        df.rdd.getNumPartitions(),
+        _target_partials(df, _fresh_state_bytes([spec.to_json()]), parallelism),
+    )
     while nparts > fanin:
         n_buckets = -(-nparts // fanin)  # each bucket folds ≤ fanin states
         partials = tree_merge(partials, spec, n_buckets)
