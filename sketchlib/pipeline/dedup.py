@@ -72,14 +72,34 @@ def shingle_df(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFra
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard ≥ threshold pairs over distinct k-gram sets:
     explode → equi-join on shingle → |∩| per pair → |∪| = |A|+|B|−|∩|.
-    Shuffles on the shingle key (hot shingles are the skew risk at scale —
-    mitigated by the distinct-per-doc step and, at 100 TB, by dropping
-    top-frequency shingles the way suffix-array pipelines do)."""
-    sh = shingle_df(df, text_col, id_col, k).cache()
+
+    Shuffles on the shingle key; hot shingles are the skew (and join-blowup)
+    risk at scale: a shingle in d docs contributes d² join rows.
+    ``max_doc_freq`` removes shingles appearing in more than that many docs
+    from the WHOLE universe (numerator and denominators) before the
+    self-join (the suffix-array-pipeline trick) — set it to ~0.5% of the
+    corpus at 100 TB.  Jaccard is then exact over the filtered shingle
+    space: identical docs still score 1.0, and a stop-shingle in d docs no
+    longer contributes d² join rows."""
+    sh = shingle_df(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > int(max_doc_freq))
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

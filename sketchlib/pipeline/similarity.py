@@ -163,6 +163,67 @@ def lsh_ann_topk(
     return cosine_topk(candidates, queries, k, id_col, vec_col)
 
 
+def build_srp_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 7,
+) -> dict:
+    """Persist an SRP-LSH ANN index: the corpus written as parquet
+    PARTITIONED BY the SRP bucket, so a probe reads only its probed buckets'
+    directories (PartitionFilters prune the other 2^planes-(planes+1) — the
+    'persisted index' an ANN service reuses across query batches instead of
+    re-hashing the corpus per call).  Returns the index metadata dict, also
+    written to ``path/_srp_index.json``."""
+    import json
+    import os
+
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    spark = df.sparkSession
+    (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("bucket", srp_bucket_col(spark, "v", dim, planes, seed))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    meta = {"dim": dim, "planes": planes, "seed": seed}
+    with open(os.path.join(path, "_srp_index.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_ann_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+) -> list[tuple[int, int, float]]:
+    """ANN top-k over a persisted SRP index: compute each query's bucket and
+    its 1-bit multiprobe neighbors driver-side (a planes x dim GEMV), read
+    ONLY those bucket partitions, exact-rerank inside.  The scan is pruned at
+    the source — at 100 TB this touches (planes+1)/2^planes of the files."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_srp_index.json")) as f:
+        meta = json.load(f)
+    planes, seed, dim = meta["planes"], meta["seed"], meta["dim"]
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((dim, planes)).astype(np.float32)
+    probes: set[int] = set()
+    for q in queries.values():
+        signs = (np.asarray(q, dtype=np.float32) @ H) > 0
+        b = int((signs * (1 << np.arange(planes))).sum())
+        probes.add(b)
+        probes.update(b ^ (1 << i) for i in range(planes))
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(list(probes)))
+    return cosine_topk(cand, queries, k, id_col="id", vec_col="v")
+
+
 def near_dup_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.95,

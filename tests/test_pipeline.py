@@ -246,3 +246,41 @@ def test_short_doc_signatures_position_independent(spark):
     sim_a = dedup.simhash_signatures(a, "text", "doc_id", shingle_k=4).filter("id = 1").first()["sim"]
     sim_b = dedup.simhash_signatures(b, "text", "doc_id", shingle_k=4).filter("id = 3").first()["sim"]
     assert sim_a == sim_b
+
+
+def test_srp_index_persist_and_probe(spark, emb, tmp_path):
+    """Persisted SRP index: bucket-partitioned parquet, probe prunes to the
+    multiprobe buckets and returns the same results as the on-the-fly LSH."""
+    path = str(tmp_path / "srp_index")
+    meta = similarity.build_srp_index(emb, path, planes=8, seed=7)
+    assert meta["planes"] == 8 and meta["dim"] == 64
+
+    tbl = emb.limit(5).toArrow()
+    queries = {
+        int(i): np.array(v, dtype=np.float64)
+        for i, v in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist())
+    }
+    got = similarity.lsh_ann_topk_indexed(spark, path, queries, k=5)
+    want = similarity.lsh_ann_topk(emb, queries, k=5, planes=8, seed=7)
+    assert {(q, n) for q, n, _ in got} == {(q, n) for q, n, _ in want}
+
+    # the probe plan must prune bucket partitions at the scan
+    probe_df = spark.read.parquet(path).filter(F.col("bucket").isin([1, 2, 3]))
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:600]
+
+
+def test_ngram_jaccard_hot_shingle_drop(spark, docs):
+    """max_doc_freq drops stop-shingles before the self-join without
+    changing the high-threshold pair set (identical docs still pair)."""
+    corpus = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    corpus = corpus.unionByName(
+        corpus.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    full = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", 3, 0.9)
+    pruned = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", 3, 0.9, max_doc_freq=30)
+    want = {(i, i + 10000) for i in range(50)}
+    assert {(r["id_a"], r["id_b"]) for r in full.collect()} == want
+    assert {(r["id_a"], r["id_b"]) for r in pruned.collect()} == want
