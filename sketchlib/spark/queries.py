@@ -334,6 +334,77 @@ def q_bloom_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom maintenance surface (bloom_intersect / saturation /
+    estimate_false_positive_rate / clear_if_saturation_exceeds,
+    src/bloom.c) driven through the gate: the AND-intersection keeps every
+    true-intersection member (no false negatives), saturation and the
+    corrected (s/m)^k FPR estimate stay in their deterministic bands, and
+    the conditional clear triggers exactly on threshold crossing.  Exact
+    carrier: distinct click users."""
+    import copy
+
+    events = _read(spark, sf_dir, "events")
+    a_df = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b_df = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    spec = BloomSpec(50_000, 0.001)
+    ka, _ = build_sketch(
+        events.filter(F.col("event_type") == "click"), spec, key="user_id"
+    )
+    kb, _ = build_sketch(
+        events.filter(F.col("event_type") == "purchase"), spec, key="user_id"
+    )
+    n_a = a_df.count()
+
+    ki = copy.deepcopy(ka).intersect(kb)
+    inter_ok = (
+        a_df.join(b_df, "user_id", "inner")
+        .select(F.bool_and(probe.probe_column(spark, ki, "user_id")).alias("ok"))
+        .first()["ok"]
+    )
+    inter_ok = True if inter_ok is None else bool(inter_ok)
+
+    sat = ka.saturation()
+    fpr = ka.estimate_false_positive_rate()
+    kc = copy.deepcopy(ka)
+    clear_behaves = (
+        not kc.clear_if_saturation_exceeds(99.9)  # under threshold: no clear
+        and kc.saturation_count() > 0
+        and kc.clear_if_saturation_exceeds(sat / 2)  # over: clears
+        and kc.saturation_count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            Row(
+                n_click_users=int(n_a),
+                intersect_no_false_negatives=inter_ok,
+                saturation_in_band=bool(0.0 < sat < 50.0),
+                fpr_le_p=bool(fpr <= spec.accuracy),
+                clear_threshold_behavior=bool(clear_behaves),
+            )
+        ]
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality filtering through the gate: per-source doc
+    count and how many docs pass quality_score >= 0.5 (the score is a pure
+    per-row function of integer char classes, reproduced exactly in SQL —
+    the hash-compared OUTPUT columns are all integers)."""
+    from sketchlib.pipeline.text import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("source", quality_score("text").alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_quality"),
+        )
+        .select("source", "n_docs", "n_quality")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gaussian Naive Bayes (reference src/gaussiannb.c, SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
@@ -690,6 +761,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_quantiles": q_kll_quantiles,
     "tdigest_quantiles": q_tdigest_quantiles,
     "bloom_set_algebra": q_bloom_set_algebra,
+    "bloom_maintenance": q_bloom_maintenance,
+    "quality_filter": q_quality_filter,
     "gaussiannb_events": q_gaussiannb_events,
     "events_by_type_day": q_events_by_type_day,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -809,6 +882,29 @@ ORACLES: dict[str, str] = {
                (SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS union_cnt,
                TRUE AS union_contains_all,
                TRUE AS jaccard_within_10pp
+    """,
+    "bloom_maintenance": """
+        SELECT COUNT(DISTINCT user_id) AS n_click_users,
+               TRUE AS intersect_no_false_negatives,
+               TRUE AS saturation_in_band,
+               TRUE AS fpr_le_p,
+               TRUE AS clear_threshold_behavior
+        FROM events WHERE event_type = 'click'
+    """,
+    "quality_filter": """
+        WITH q AS (
+            SELECT source,
+                   ROUND(
+                       CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.5 END
+                       * (0.7 * (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / GREATEST(length(text), 1)
+                          + 0.3 * (1 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / GREATEST(length(text), 1))),
+                       6) AS score
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN LEAST(GREATEST(score, 0), 1) >= 0.5 THEN 1 ELSE 0 END) AS n_quality
+        FROM q GROUP BY source
     """,
     "gaussiannb_events": """
         SELECT event_type,
