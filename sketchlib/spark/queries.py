@@ -424,17 +424,25 @@ def q_gaussiannb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     acc = preds.filter(F.col("pred") == F.col("event_type")).count() / events.count()
     acc_ok = bool(acc >= 1.0 / (2 * len(model.labels)))
+    # gaussiannb_mahalanobis_distance (src/gaussiannb.c): a class mean is at
+    # distance 0 from its own class — deterministic model invariant
+    maha_ok = all(
+        abs(float(model.mahalanobis(np.array([model.mean[i]]), i)[0])) < 1e-9
+        for i in range(len(model.labels))
+    )
     rows = [
         Row(
             event_type=str(lbl),
             n=int(model.count[i]),
             mean_value=float(round(model.mean[i][0], 4)),
             pred_acc_above_half_chance=acc_ok,
+            mahalanobis_self_zero=bool(maha_ok),
         )
         for i, lbl in enumerate(model.labels)
     ]
     return spark.createDataFrame(rows).select(
-        "event_type", "n", "mean_value", "pred_acc_above_half_chance"
+        "event_type", "n", "mean_value", "pred_acc_above_half_chance",
+        "mahalanobis_self_zero",
     )
 
 
@@ -749,6 +757,57 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming maintenance of a sketch (SURVEY.md §2.9 /
+    streaming.py): stream the events table file-by-file through the
+    foreachBatch sketch_sink (epoch-dedup, persistent store), then compare
+    the folded HLL estimate against the exact COUNT(DISTINCT).  The stream
+    is deterministic (fixed files, associative merges), so the exact carrier
+    + bound hash-match the SQL oracle like the batch queries."""
+    import os
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.agg import SketchJob
+    from sketchlib.store import SketchStore
+    from sketchlib.streaming import run_stream_build
+
+    events = _read(spark, sf_dir, "events")
+    true = events.select(F.countDistinct("user_id").alias("d")).first()["d"]
+    tmp = tempfile.mkdtemp(prefix="sketchlib_stream_gate_")
+    try:
+        src = os.path.join(tmp, "src")
+        # several files → several micro-batches (maxFilesPerTrigger=1)
+        events.select("user_id").repartition(4).write.parquet(src)
+        store = SketchStore(os.path.join(tmp, "store"))
+        q = run_stream_build(
+            spark,
+            src,
+            store,
+            [SketchJob("hll_users_streamed", HllSpec(p=14), key="user_id")],
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            query_name="gate_stream_build",
+        )
+        q.processAllAvailable()
+        q.stop()
+        kernel, metrics = store.load_kernel("hll_users_streamed")
+        est = kernel.estimate()
+        epochs = int(metrics.get("epochs", 0))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    ok = bool(abs(est - true) / true <= 0.02)
+    return spark.createDataFrame(
+        [
+            Row(
+                sketch="hll_users_streamed",
+                true_distinct=int(true),
+                multi_batch=bool(epochs >= 2),
+                within_2pct=ok,
+            )
+        ]
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "hll_distinct_user_type": q_hll_distinct_user_type,
@@ -780,6 +839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint_docs": q_fingerprint_docs,
     "multimodal_features": q_multimodal_features,
+    "streaming_sketch_build": q_streaming_sketch_build,
 }
 
 _DUP_PAIRS_ORACLE = """
@@ -910,7 +970,8 @@ ORACLES: dict[str, str] = {
         SELECT event_type,
                COUNT(*) AS n,
                ROUND(AVG(value), 4) AS mean_value,
-               TRUE AS pred_acc_above_half_chance
+               TRUE AS pred_acc_above_half_chance,
+               TRUE AS mahalanobis_self_zero
         FROM events GROUP BY event_type
     """,
     "events_by_type_day": """
@@ -1006,6 +1067,13 @@ ORACLES: dict[str, str] = {
         SELECT COUNT(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS n_distinct_texts,
                TRUE AS fp_matches_texts
         FROM documents
+    """,
+    "streaming_sketch_build": """
+        SELECT 'hll_users_streamed' AS sketch,
+               COUNT(DISTINCT user_id) AS true_distinct,
+               TRUE AS multi_batch,
+               TRUE AS within_2pct
+        FROM events
     """,
     "multimodal_features": """
         SELECT COUNT(*) AS n_media,
