@@ -47,6 +47,16 @@ def _ts_bounds(events: DataFrame) -> tuple[int, int]:
     return int(r[0]), int(r[1])
 
 
+def _ts_at_least(epoch_sec: int):
+    """ts >= <epoch literal> as a PUSHABLE predicate: comparing the column
+    directly to a constant-folded NTZ literal reaches the parquet scan as a
+    PushedFilter (row-group min/max skipping at 100 TB);
+    ``unix_timestamp(ts) >= x`` stays a post-scan DataFilter.  Equivalent on
+    whole-second timestamps (the transcripts/events data model)."""
+    lit = F.lit(__import__("datetime").datetime.utcfromtimestamp(int(epoch_sec)))
+    return F.col("ts") >= lit.cast("timestamp_ntz")
+
+
 # ---------------------------------------------------------------------------
 # cardinality (HLL)
 # ---------------------------------------------------------------------------
@@ -206,11 +216,7 @@ def q_tdbloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     window = max((t1 - t0) // 3, 1)
     spec = TdBloomSpec(200_000, 0.001, timeout=window, start_time=t0)
     kernel, _ = build_sketch(events, spec, key="user_id", ts="ts")
-    recent = (
-        events.filter(F.unix_timestamp("ts") >= t1 - window)
-        .select("user_id")
-        .distinct()
-    )
+    recent = events.filter(_ts_at_least(t1 - window)).select("user_id").distinct()
     # broadcast-probe over the DataFrame — never collect the key list to the
     # driver (round-1 scale-killer: millions of user_ids at 100x)
     return recent.select(
@@ -230,7 +236,7 @@ def q_tdcbloom_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kernel, _ = build_sketch(events, spec, key="user_id", ts="ts")
     exact = (
-        events.filter(F.unix_timestamp("ts") >= t1 - window)
+        events.filter(_ts_at_least(t1 - window))
         .groupBy("user_id")
         .count()
         .withColumnRenamed("count", "recent_cnt")

@@ -105,3 +105,17 @@ def test_skewed_write_then_sketch_identical(spark, table, tmp_path):
     k_table, n2 = build_sketch(table.read(), HllSpec(p=12), key="conv_id")
     assert n1 == n2
     assert k_direct.serialize() == k_table.serialize()
+
+
+def test_recent_window_filter_is_pushed(spark):
+    """The time-decay carriers' recency filter must reach the parquet scan
+    as a PushedFilter (row-group skipping at scale) — not stay a post-scan
+    unix_timestamp DataFilter."""
+    from sketchlib.spark.queries import q_tdbloom_recent_users
+
+    df = q_tdbloom_recent_users(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PushedFilters" in l and "GreaterThanOrEqual(ts" in l
+        for l in plan.splitlines()
+    ), plan[:900]
