@@ -224,6 +224,95 @@ def lsh_ann_topk_indexed(
     return cosine_topk(cand, queries, k, id_col="id", vec_col="v")
 
 
+def _kmeans_fit(X: np.ndarray, n_cells: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Small deterministic spherical k-means on a driver-side sample — the
+    IVF coarse quantizer.  Cosine metric: rows and centroids are
+    L2-normalized; assignment = argmax dot."""
+    Xn = _normalize(X.astype(np.float64))
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(Xn.shape[0], size=min(n_cells, Xn.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            members = Xn[assign == c]
+            if members.size:
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    train_rows: int = 100_000,
+    seed: int = 7,
+) -> dict:
+    """Persist an IVF (inverted-file) ANN index: a k-means coarse quantizer
+    trained on a bounded driver-side sample, then every vector assigned to
+    its nearest centroid cell and written as parquet PARTITIONED BY cell.
+    Probes read only n_probe cell directories.  Complements the SRP index:
+    IVF adapts to the data distribution (clustered corpora), SRP is
+    data-independent.  Returns metadata (centroids inline), also written to
+    ``path/_ivf_index.json``."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    sample = (
+        df.select(F.col(vec_col).alias("v")).limit(int(train_rows)).toArrow()
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample.column("v").to_pylist()])
+    C = _kmeans_fit(X, n_cells, seed=seed)
+    bc = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        M = _normalize(np.stack(v.to_numpy()).astype(np.float64))
+        return pd.Series(np.argmax(M @ bc.value.T, axis=1).astype(np.int32))
+
+    (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("cell", _cell(F.col("v")))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    meta = {"n_cells": int(C.shape[0]), "dim": int(C.shape[1]), "seed": seed,
+            "centroids": C.tolist()}
+    with open(os.path.join(path, "_ivf_index.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_ann_topk(
+    spark: SparkSession,
+    path: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    n_probe: int = 8,
+) -> list[tuple[int, int, float]]:
+    """ANN top-k over a persisted IVF index: each query probes its n_probe
+    nearest cells (driver-side GEMV against the stored centroids), the scan
+    reads only those cell partitions, exact rerank inside."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_index.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    probes: set[int] = set()
+    for q in queries.values():
+        qn = _normalize(np.asarray(q, dtype=np.float64)[None, :])[0]
+        sims = C @ qn
+        take = min(n_probe, C.shape[0])
+        probes.update(int(c) for c in np.argpartition(-sims, take - 1)[:take])
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(list(probes)))
+    return cosine_topk(cand, queries, k, id_col="id", vec_col="v")
+
+
 def near_dup_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.95,

@@ -656,6 +656,53 @@ def q_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_queries", "recall_ge_10pct", "corpus_rows")
 
 
+def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ANN through the gate (SRP bucket-partitioned + IVF
+    cell-partitioned parquet): IVF probing EVERY cell must equal brute
+    force exactly, and the SRP index probe must equal the on-the-fly LSH
+    (same buckets, same rerank).  Exact carrier: corpus rows."""
+    import shutil
+    import tempfile
+
+    from sketchlib.pipeline.similarity import (
+        build_ivf_index,
+        build_srp_index,
+        cosine_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+        lsh_ann_topk_indexed,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qt = emb.filter(F.col("vec_id") < 5).toArrow()
+    queries = {
+        int(i): np.array(v, dtype=np.float64)
+        for i, v in zip(qt.column("vec_id").to_pylist(), qt.column("embedding").to_pylist())
+    }
+    total = emb.count()
+    tmp = tempfile.mkdtemp(prefix="sketchlib_ann_gate_")
+    try:
+        build_srp_index(emb, f"{tmp}/srp", planes=8, seed=7)
+        srp_idx = {(q, n) for q, n, _ in lsh_ann_topk_indexed(spark, f"{tmp}/srp", queries, k=5)}
+        srp_fly = {(q, n) for q, n, _ in lsh_ann_topk(emb, queries, k=5, planes=8, seed=7)}
+        n_cells = 16
+        build_ivf_index(emb, f"{tmp}/ivf", n_cells=n_cells, seed=7)
+        ivf_full = {(q, n) for q, n, _ in ivf_ann_topk(spark, f"{tmp}/ivf", queries, k=5, n_probe=n_cells)}
+        exact = {(q, n) for q, n, _ in cosine_topk(emb, queries, k=5)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            Row(
+                n_queries=len(queries),
+                corpus_rows=int(total),
+                ivf_fullprobe_is_exact=bool(ivf_full == exact),
+                srp_index_matches_lsh=bool(srp_idx == srp_fly),
+            )
+        ]
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source text-analysis aggregates: token counts, char classes —
     every column exactly reproducible in SQL."""
@@ -841,6 +888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk": q_ann_topk,
     "lsh_ann_recall": q_lsh_ann_recall,
+    "ann_index_recall": q_ann_index_recall,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprint_docs": q_fingerprint_docs,
@@ -1051,6 +1099,12 @@ ORACLES: dict[str, str] = {
     "lsh_ann_recall": """
         SELECT 5 AS n_queries, TRUE AS recall_ge_10pct,
                (SELECT COUNT(*) FROM embeddings) AS corpus_rows
+    """,
+    "ann_index_recall": """
+        SELECT 5 AS n_queries,
+               (SELECT COUNT(*) FROM embeddings) AS corpus_rows,
+               TRUE AS ivf_fullprobe_is_exact,
+               TRUE AS srp_index_matches_lsh
     """,
     "text_stats": """
         SELECT source,

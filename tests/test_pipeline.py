@@ -284,3 +284,32 @@ def test_ngram_jaccard_hot_shingle_drop(spark, docs):
     want = {(i, i + 10000) for i in range(50)}
     assert {(r["id_a"], r["id_b"]) for r in full.collect()} == want
     assert {(r["id_a"], r["id_b"]) for r in pruned.collect()} == want
+
+
+def test_ivf_index_recall_and_pruning(spark, emb, tmp_path):
+    """IVF index: cell-partitioned parquet; with n_probe covering half the
+    cells, recall vs brute force on random data should beat the 8-plane SRP
+    LSH; full-probe recall is 1.0 (every cell scanned = exact)."""
+    path = str(tmp_path / "ivf_index")
+    meta = similarity.build_ivf_index(emb, path, n_cells=16, seed=7)
+    assert meta["n_cells"] == 16 and meta["dim"] == 64
+
+    tbl = emb.limit(5).toArrow()
+    queries = {
+        int(i): np.array(v, dtype=np.float64)
+        for i, v in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist())
+    }
+    exact = {(q, n) for q, n, _ in similarity.cosine_topk(emb, queries, k=5)}
+    full = {(q, n) for q, n, _ in similarity.ivf_ann_topk(spark, path, queries, k=5, n_probe=16)}
+    assert full == exact  # probing every cell is the exact search
+    half = {(q, n) for q, n, _ in similarity.ivf_ann_topk(spark, path, queries, k=5, n_probe=8)}
+    assert len(half & exact) / len(exact) >= 0.5
+
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([0, 1]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:600]

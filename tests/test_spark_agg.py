@@ -197,3 +197,37 @@ def test_tree_merge_matches_flat(spark, events):
     k_flat, _ = build_sketch(events, spec, key="user_id")
     assert k_tree.serialize() == k_flat.serialize()
     assert sum(r["rows"] for r in rows) == events.count()
+
+
+def test_build_sketch_tree_levels_end_to_end(spark, events):
+    """fanin < partial count drives the Spark-side combine loop (with the
+    spark_partition_id bucketing — even bucket counts used to collapse to
+    one task); result byte-identical to the flat build."""
+    spec = BloomSpec(20_000, 0.01)
+    k_tree, n1 = build_sketch(
+        events.repartition(16), spec, key="user_id", parallelism=16, fanin=4
+    )
+    k_flat, n2 = build_sketch(events, spec, key="user_id")
+    assert n1 == n2 == events.count()
+    assert k_tree.serialize() == k_flat.serialize()
+
+
+def test_target_partials_heuristic(spark, events, tmp_path):
+    """State-size-aware sizing: big state + small input -> floor(8);
+    explicit parallelism wins; in-memory input falls back to the cap."""
+    from sketchlib.spark.agg import _fresh_state_bytes, _target_partials
+
+    big_state = 20 * 1024 * 1024
+    path = str(tmp_path / "ev.parquet")
+    events.write.parquet(path)
+    on_disk = spark.read.parquet(path).repartition(16)
+    # cap depends on the (shared, order-dependent) pytest session's cores
+    cap = min(spark.sparkContext.defaultParallelism, 16)
+    floor = min(8, cap)
+    assert _target_partials(on_disk, big_state, None) == floor
+    assert _target_partials(on_disk, big_state, 12) == 12
+    # tiny state: the input-bytes budget allows fan-out up to the cap
+    assert _target_partials(on_disk, 1, None) == cap
+    # unknown input size (in-memory) -> session cap
+    mem = events.repartition(16)
+    assert _target_partials(mem, big_state, None) == cap
