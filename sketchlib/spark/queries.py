@@ -682,9 +682,12 @@ def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = emb.count()
     tmp = tempfile.mkdtemp(prefix="sketchlib_ann_gate_")
     try:
-        build_srp_index(emb, f"{tmp}/srp", planes=8, seed=7)
+        # planes=6 → 64 bucket dirs: the index-write cost in this carrier is
+        # dominated by directory count, and the equality properties checked
+        # here are planes-independent
+        build_srp_index(emb, f"{tmp}/srp", planes=6, seed=7)
         srp_idx = {(q, n) for q, n, _ in lsh_ann_topk_indexed(spark, f"{tmp}/srp", queries, k=5)}
-        srp_fly = {(q, n) for q, n, _ in lsh_ann_topk(emb, queries, k=5, planes=8, seed=7)}
+        srp_fly = {(q, n) for q, n, _ in lsh_ann_topk(emb, queries, k=5, planes=6, seed=7)}
         n_cells = 16
         build_ivf_index(emb, f"{tmp}/ivf", n_cells=n_cells, seed=7)
         ivf_full = {(q, n) for q, n, _ in ivf_ann_topk(spark, f"{tmp}/ivf", queries, k=5, n_probe=n_cells)}
