@@ -340,6 +340,44 @@ def q_bloom_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-partitioned HLL rollup: one tiny sketch state per day, weekly
+    distinct-user counts answered by MERGING day states (never rescanning
+    rows) — the hypertable-rollup pattern at 10^12 turns.  Carrier: exact
+    weekly distinct counts; bound: each merged weekly estimate within 2%."""
+    import datetime as dt
+
+    from sketchlib.spark.agg import _merge_blobs
+    from sketchlib.spark.rollup import sketch_rollup
+
+    spec = HllSpec(p=14)
+    events = _read(spark, sf_dir, "events")
+    # ONE job materializes the whole rollup (a handful of KB-sized rows);
+    # every weekly range query is then a driver-side merge of day states
+    tbl = sketch_rollup(events, spec, key="user_id").toArrow()
+    by_week: dict = {}
+    for b, s in zip(tbl.column("bucket").to_pylist(), tbl.column("state").to_pylist()):
+        wk = b - dt.timedelta(days=b.weekday())
+        by_week.setdefault(wk, []).append(s)
+    weeks = (
+        events.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("true_distinct"))
+        .collect()
+    )
+    out = []
+    for r in sorted(weeks, key=lambda r: r["week"]):
+        est = _merge_blobs(spec.to_json(), by_week.get(r["week"], [])).estimate()
+        ok = bool(abs(est - r["true_distinct"]) / max(r["true_distinct"], 1) <= 0.02)
+        out.append(
+            Row(week=r["week"], true_distinct=int(r["true_distinct"]), within_2pct=ok)
+        )
+    return spark.createDataFrame(out).select("week", "true_distinct", "within_2pct")
+
+
 def q_bloom_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom maintenance surface (bloom_intersect / saturation /
     estimate_false_positive_rate / clear_if_saturation_exceeds,
@@ -867,6 +905,7 @@ def q_streaming_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "hll_distinct_user_type": q_hll_distinct_user_type,
+    "hll_daily_rollup": q_hll_daily_rollup,
     "bloom_membership": q_bloom_membership,
     "cuckoo_membership": q_cuckoo_membership,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -938,6 +977,12 @@ ORACLES: dict[str, str] = {
                COUNT(DISTINCT (user_id, event_type)) AS true_distinct,
                TRUE AS within_2pct
         FROM events
+    """,
+    "hll_daily_rollup": """
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               COUNT(DISTINCT user_id) AS true_distinct,
+               TRUE AS within_2pct
+        FROM events GROUP BY 1
     """,
     "bloom_membership": """
         SELECT DISTINCT user_id
