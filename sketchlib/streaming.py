@@ -85,6 +85,64 @@ def sketch_sink(store: SketchStore, jobs: list[SketchJob], query_name: str):
     return _apply
 
 
+def rollup_sink(store: SketchStore, spec, key, query_name: str, ts: str = "ts"):
+    """foreachBatch sink maintaining ONE kernel per day bucket in the store
+    (the streaming maintenance path of spark/rollup.py): each micro-batch is
+    rolled up per day and merged into ``{query_name}__{day}`` entries, so
+    time-range queries keep working while the stream runs.  Exactly-once per
+    (bucket, epoch) via each kernel's last_epoch guard — a batch replay
+    after a partial crash re-merges only the buckets that missed."""
+    from sketchlib.spark.agg import _merge_blobs
+    from sketchlib.spark.rollup import sketch_rollup
+
+    spec_json = spec.to_json()
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        tbl = sketch_rollup(batch_df, spec, key=key, ts=ts).toArrow()
+        for b, blob, rows in zip(
+            tbl.column("bucket").to_pylist(),
+            tbl.column("state").to_pylist(),
+            tbl.column("rows").to_pylist(),
+        ):
+            name = f"{query_name}__{b.isoformat()}"
+            kernel = _merge_blobs(spec_json, [blob])
+            try:
+                current, metrics = store.load_kernel(name)
+                if metrics.get("last_epoch", -1) >= epoch_id:
+                    continue
+                current.merge(kernel)
+                metrics["rows"] = metrics.get("rows", 0) + rows
+            except FileNotFoundError:
+                current, metrics = kernel, {"rows": rows}
+            metrics["last_epoch"] = epoch_id
+            store.save_kernel(name, current, metrics)
+
+    return _apply
+
+
+def rollup_range_from_store(store: SketchStore, spec, query_name: str, start=None, end=None):
+    """Merge the store's ``{query_name}__{day}`` kernels for days in
+    [start, end] (ISO date strings / dates) → (kernel, rows)."""
+    prefix = f"{query_name}__"
+    lo = str(start) if start is not None else None
+    hi = str(end) if end is not None else None
+    merged, total = None, 0
+    for name in sorted(store.list_sketches()):
+        if not name.startswith(prefix):
+            continue
+        day = name[len(prefix):]
+        if (lo is not None and day < lo) or (hi is not None and day > hi):
+            continue
+        kernel, metrics = store.load_kernel(name)
+        total += metrics.get("rows", 0)
+        merged = kernel if merged is None else merged.merge(kernel)
+    if merged is None:
+        from sketchlib.kernels import KERNEL_BY_KIND
+
+        merged = KERNEL_BY_KIND[spec.kind](spec)
+    return merged, total
+
+
 def run_stream_build(
     spark: SparkSession,
     input_path: str,

@@ -153,3 +153,27 @@ def test_partial_crash_replay_no_double_fold(spark, tr_dir, tmp_path):
     k2, m2 = store.load_kernel("cms_tool")
     assert k2.serialize() == k1.serialize()
     assert m2["rows"] == m1["rows"]
+
+
+def test_rollup_sink_stream_equals_batch_rollup(spark, tr_dir, tmp_path):
+    """Streaming per-day rollup maintenance == one batch rollup: merged
+    range states byte-identical; replay of an epoch is a no-op."""
+    from sketchlib.spark.rollup import merge_range, sketch_rollup
+    from sketchlib.specs import HllSpec
+
+    spec = HllSpec(p=12)
+    store = SketchStore(str(tmp_path / "rstore"))
+    sink = streaming.rollup_sink(store, spec, key="conv_id", query_name="hll_day")
+    df = spark.read.parquet(tr_dir)
+    # drive the sink as two "micro-batches" (halves of the data)
+    h1 = df.filter(F.xxhash64("conv_id") % 2 == 0)
+    h2 = df.filter(F.xxhash64("conv_id") % 2 != 0)
+    sink(h1, 0)
+    sink(h2, 1)
+    sink(h2, 1)  # replay: per-bucket last_epoch guard must skip
+
+    streamed, n1 = streaming.rollup_range_from_store(store, spec, "hll_day")
+    batch = sketch_rollup(df, spec, key="conv_id")
+    direct, n2 = merge_range(batch, spec)
+    assert streamed.serialize() == direct.serialize()
+    assert n1 == n2
