@@ -83,10 +83,12 @@ class TranscriptsTable:
         is still scanned.  ``day == to_date(ts)`` by construction (write()),
         so the day-range predicate is exactly equivalent."""
         if self.use_iceberg:
-            # Iceberg's hidden days(ts) partitioning prunes from the ts range
+            # plain column-vs-literal ts range: pushable to Iceberg, whose
+            # hidden days(ts) partitioning then prunes manifests (a
+            # to_date(ts) wrapper would NOT convert to a source predicate)
             return self.read().filter(
-                (F.to_date("ts") >= F.lit(start_day))
-                & (F.to_date("ts") <= F.lit(end_day))
+                (F.col("ts") >= F.lit(start_day).cast("timestamp"))
+                & (F.col("ts") < F.date_add(F.lit(end_day).cast("date"), 1).cast("timestamp"))
             )
         return self.read().filter(
             (F.col("day") >= F.lit(start_day).cast("date"))

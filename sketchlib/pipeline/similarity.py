@@ -110,21 +110,40 @@ def cosine_topk(
     return out
 
 
+def _srp_planes(dim: int, planes: int, seed: int) -> np.ndarray:
+    """THE SRP hyperplane construction — the single definition shared by the
+    column UDF, the driver-side query hashing, and the persisted index.  Any
+    divergence between write-side and probe-side hashing silently zeroes
+    index recall, so there is exactly one copy of this recipe."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, planes)).astype(np.float32)
+
+
+def _srp_bucket_ids(M: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """(n, dim) float matrix → (n,) int64 bucket ids (sign bits, LSB = plane
+    0).  Must stay bit-identical to the UDF path."""
+    signs = (M.astype(np.float32) @ H) > 0
+    weights = (1 << np.arange(H.shape[1], dtype=np.int64))[None, :]
+    return (signs * weights).sum(axis=1)
+
+
+def _srp_multiprobe(q: np.ndarray, H: np.ndarray) -> set[int]:
+    """Query bucket + its 1-bit-flip neighbors."""
+    b = int(_srp_bucket_ids(np.asarray(q, dtype=np.float32)[None, :], H)[0])
+    return {b} | {b ^ (1 << i) for i in range(H.shape[1])}
+
+
 def srp_bucket_col(
     spark: SparkSession, vec_col: str, dim: int, planes: int = 12, seed: int = 7
 ):
     """Signed-random-projection LSH bucket id (0..2^planes-1) as a column —
     the partitioning key for sub-linear ANN at scale."""
-    rng = np.random.default_rng(seed)
-    H = rng.standard_normal((dim, planes)).astype(np.float32)
-    bh = spark.sparkContext.broadcast(H)
+    bh = spark.sparkContext.broadcast(_srp_planes(dim, planes, seed))
 
     @F.pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy())
-        signs = (M.astype(np.float32) @ bh.value) > 0
-        weights = (1 << np.arange(signs.shape[1], dtype=np.int64))[None, :]
-        return pd.Series((signs * weights).sum(axis=1))
+        return pd.Series(_srp_bucket_ids(M, bh.value))
 
     return _bucket(F.col(vec_col))
 
@@ -143,18 +162,10 @@ def lsh_ann_topk(
     (planes+1)/2^planes of the corpus scanned)."""
     spark = df.sparkSession
     dim = len(next(iter(queries.values())))
-    rng = np.random.default_rng(seed)
-    H = rng.standard_normal((dim, planes)).astype(np.float32)
-
-    def bucket_of(v: np.ndarray) -> int:
-        signs = (np.asarray(v, dtype=np.float32) @ H) > 0
-        return int((signs * (1 << np.arange(planes))).sum())
-
+    H = _srp_planes(dim, planes, seed)
     probes: set[int] = set()
     for q in queries.values():
-        b = bucket_of(q)
-        probes.add(b)
-        probes.update(b ^ (1 << i) for i in range(planes))
+        probes |= _srp_multiprobe(q, H)
 
     with_bucket = df.withColumn(
         "__bucket", srp_bucket_col(spark, vec_col, dim, planes, seed)
@@ -176,10 +187,9 @@ def build_srp_index(
     directories (PartitionFilters prune the other 2^planes-(planes+1) — the
     'persisted index' an ANN service reuses across query batches instead of
     re-hashing the corpus per call).  Returns the index metadata dict, also
-    written to ``path/_srp_index.json``."""
-    import json
-    import os
-
+    written to ``path/_srp_meta`` (via Spark, so hdfs://... / s3a://... index
+    locations work; underscore-prefixed paths are invisible to the parquet
+    reader)."""
     first = df.select(vec_col).first()
     dim = len(first[0])
     spark = df.sparkSession
@@ -191,9 +201,23 @@ def build_srp_index(
         .parquet(path)
     )
     meta = {"dim": dim, "planes": planes, "seed": seed}
-    with open(os.path.join(path, "_srp_index.json"), "w") as f:
-        json.dump(meta, f)
+    _write_index_meta(spark, path, "_srp_meta", meta)
     return meta
+
+
+def _write_index_meta(spark: SparkSession, path: str, name: str, meta: dict) -> None:
+    """Tiny index-metadata sidecar written through Spark (FS-agnostic)."""
+    import json
+
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/{name}")
+
+
+def _read_index_meta(spark: SparkSession, path: str, name: str) -> dict:
+    import json
+
+    return json.loads(spark.read.text(f"{path}/{name}").first()[0])
 
 
 def lsh_ann_topk_indexed(
@@ -206,20 +230,11 @@ def lsh_ann_topk_indexed(
     its 1-bit multiprobe neighbors driver-side (a planes x dim GEMV), read
     ONLY those bucket partitions, exact-rerank inside.  The scan is pruned at
     the source — at 100 TB this touches (planes+1)/2^planes of the files."""
-    import json
-    import os
-
-    with open(os.path.join(path, "_srp_index.json")) as f:
-        meta = json.load(f)
-    planes, seed, dim = meta["planes"], meta["seed"], meta["dim"]
-    rng = np.random.default_rng(seed)
-    H = rng.standard_normal((dim, planes)).astype(np.float32)
+    meta = _read_index_meta(spark, path, "_srp_meta")
+    H = _srp_planes(meta["dim"], meta["planes"], meta["seed"])
     probes: set[int] = set()
     for q in queries.values():
-        signs = (np.asarray(q, dtype=np.float32) @ H) > 0
-        b = int((signs * (1 << np.arange(planes))).sum())
-        probes.add(b)
-        probes.update(b ^ (1 << i) for i in range(planes))
+        probes |= _srp_multiprobe(q, H)
     cand = spark.read.parquet(path).filter(F.col("bucket").isin(list(probes)))
     return cosine_topk(cand, queries, k, id_col="id", vec_col="v")
 
@@ -256,10 +271,7 @@ def build_ivf_index(
     Probes read only n_probe cell directories.  Complements the SRP index:
     IVF adapts to the data distribution (clustered corpora), SRP is
     data-independent.  Returns metadata (centroids inline), also written to
-    ``path/_ivf_index.json``."""
-    import json
-    import os
-
+    ``path/_ivf_meta`` (via Spark — FS-agnostic)."""
     spark = df.sparkSession
     sample = (
         df.select(F.col(vec_col).alias("v")).limit(int(train_rows)).toArrow()
@@ -282,8 +294,7 @@ def build_ivf_index(
     )
     meta = {"n_cells": int(C.shape[0]), "dim": int(C.shape[1]), "seed": seed,
             "centroids": C.tolist()}
-    with open(os.path.join(path, "_ivf_index.json"), "w") as f:
-        json.dump(meta, f)
+    _write_index_meta(spark, path, "_ivf_meta", meta)
     return meta
 
 
@@ -297,11 +308,7 @@ def ivf_ann_topk(
     """ANN top-k over a persisted IVF index: each query probes its n_probe
     nearest cells (driver-side GEMV against the stored centroids), the scan
     reads only those cell partitions, exact rerank inside."""
-    import json
-    import os
-
-    with open(os.path.join(path, "_ivf_index.json")) as f:
-        meta = json.load(f)
+    meta = _read_index_meta(spark, path, "_ivf_meta")
     C = np.asarray(meta["centroids"], dtype=np.float64)
     probes: set[int] = set()
     for q in queries.values():
@@ -397,8 +404,10 @@ def near_dup_pairs(
     **bucket_kw,
 ) -> DataFrame:
     """Auto-select: exact broadcast-GEMM under ``exact_cap`` rows (cheap and
-    recall-1), SRP-bucketed beyond it (the 100-TB path)."""
-    n = df.count()
+    recall-1), SRP-bucketed beyond it (the 100-TB path).  The size probe is
+    bounded at exact_cap+1 rows — a full count() of a computed 100-TB frame
+    would cost a scan just to pick a path."""
+    n = df.limit(exact_cap + 1).count()
     if n <= exact_cap:
         return near_dup_pairs_exact(df, threshold, id_col, vec_col)
     return near_dup_pairs_bucketed(df, threshold, id_col, vec_col, **bucket_kw)

@@ -182,7 +182,9 @@ def sketch_partials(
         proj = proj.filter(F.col("__key").isNotNull())
     spec_json = spec.to_json()
     proj = _coalesce_to_parallelism(
-        proj, _fresh_state_bytes([spec_json]), parallelism
+        proj,
+        0 if parallelism is not None else _fresh_state_bytes([spec_json]),
+        parallelism,
     )
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -258,7 +260,9 @@ def build_many(
 
     specs_json = [j.spec.to_json() for j in jobs]
     proj = _coalesce_to_parallelism(
-        df.select(*cols), _fresh_state_bytes(specs_json), parallelism
+        df.select(*cols),
+        0 if parallelism is not None else _fresh_state_bytes(specs_json),
+        parallelism,
     )
     roles = [aliases[i] for i in range(len(jobs))]
 
@@ -389,15 +393,15 @@ def build_sketch(
 ):
     """End-to-end: build partials, merge (tree level(s) Spark-side if needed,
     final fold on the driver), return ``(kernel, total_rows)``."""
+    # resolve the partial count ONCE (file stats + kernel allocation are not
+    # free) and hand the explicit value to the build stage
+    target = _target_partials(df, _fresh_state_bytes([spec.to_json()]), parallelism)
     partials = sketch_partials(
-        df, spec, key=key, ts=ts, values=values, parallelism=parallelism
+        df, spec, key=key, ts=ts, values=values, parallelism=target
     )
     # Spark-side combine level(s) while too many partials for the driver —
-    # planned up front from the partition count so nothing recomputes.
-    nparts = min(
-        df.rdd.getNumPartitions(),
-        _target_partials(df, _fresh_state_bytes([spec.to_json()]), parallelism),
-    )
+    # planned up front from the partial count so nothing recomputes.
+    nparts = target
     while nparts > fanin:
         n_buckets = -(-nparts // fanin)  # each bucket folds ≤ fanin states
         partials = tree_merge(partials, spec, n_buckets)

@@ -53,7 +53,11 @@ def sketch_rollup(
     cols = [bcol.alias("__b"), kcol.alias("__key")]
     if needs_ts:
         cols.append(F.col(ts).alias("__ts"))
-    proj = df.select(*cols).filter(F.col("__key").isNotNull())
+    # null bucket (null ts) rows have no home and would crash the
+    # per-bucket grouping below — drop them like null keys
+    proj = df.select(*cols).filter(
+        F.col("__key").isNotNull() & F.col("__b").isNotNull()
+    )
 
     spec_json = spec.to_json()
 

@@ -46,8 +46,16 @@ def read_transcripts_stream(spark: SparkSession, path: str, schema=None) -> Data
 
 def sketch_sink(store: SketchStore, jobs: list[SketchJob], query_name: str):
     """foreachBatch function maintaining one merged kernel per job in the
-    store, with epoch-dedup for exactly-once folding."""
+    store, with epoch-dedup for exactly-once folding.
+
+    Epoch ids are scoped to ONE stream checkpoint: ``query_name`` must be
+    unique per (stream, checkpoint) — restarting with a FRESH checkpoint
+    restarts epoch ids at 0, so reusing the old query_name against already-
+    advanced kernels would silently skip the new stream's early batches.
+    The guard key embeds query_name so distinct streams maintaining the same
+    kernel names cannot collide either."""
     epoch_file = os.path.join(store.root, f"{query_name}.epoch")
+    guard_key = f"last_epoch::{query_name}"
 
     def _last_epoch() -> int:
         try:
@@ -67,15 +75,15 @@ def sketch_sink(store: SketchStore, jobs: list[SketchJob], query_name: str):
                 # per-kernel epoch guard: a crash after saving SOME kernels
                 # but before the epoch marker must not double-fold the saved
                 # ones on replay (each save_kernel is atomic tmp+rename, so
-                # last_epoch and the folded state always move together)
-                if metrics.get("last_epoch", -1) >= epoch_id:
+                # the guard and the folded state always move together)
+                if metrics.get(guard_key, -1) >= epoch_id:
                     continue
                 current.merge(kernel)
                 metrics["rows"] = metrics.get("rows", 0) + rows
                 metrics["epochs"] = metrics.get("epochs", 0) + 1
             except FileNotFoundError:
                 current, metrics = kernel, {"rows": rows, "epochs": 1}
-            metrics["last_epoch"] = epoch_id
+            metrics[guard_key] = epoch_id
             store.save_kernel(job.name, current, metrics)
         tmp = epoch_file + ".tmp"
         with open(tmp, "w") as f:
@@ -90,12 +98,15 @@ def rollup_sink(store: SketchStore, spec, key, query_name: str, ts: str = "ts"):
     (the streaming maintenance path of spark/rollup.py): each micro-batch is
     rolled up per day and merged into ``{query_name}__{day}`` entries, so
     time-range queries keep working while the stream runs.  Exactly-once per
-    (bucket, epoch) via each kernel's last_epoch guard — a batch replay
-    after a partial crash re-merges only the buckets that missed."""
+    (bucket, epoch) via a query-scoped guard in each kernel's metrics — a
+    batch replay after a partial crash re-merges only the buckets that
+    missed.  As with sketch_sink, ``query_name`` must be unique per
+    (stream, checkpoint): a fresh checkpoint restarts epoch ids at 0."""
     from sketchlib.spark.agg import _merge_blobs
     from sketchlib.spark.rollup import sketch_rollup
 
     spec_json = spec.to_json()
+    guard_key = f"last_epoch::{query_name}"
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         tbl = sketch_rollup(batch_df, spec, key=key, ts=ts).toArrow()
@@ -108,13 +119,13 @@ def rollup_sink(store: SketchStore, spec, key, query_name: str, ts: str = "ts"):
             kernel = _merge_blobs(spec_json, [blob])
             try:
                 current, metrics = store.load_kernel(name)
-                if metrics.get("last_epoch", -1) >= epoch_id:
+                if metrics.get(guard_key, -1) >= epoch_id:
                     continue
                 current.merge(kernel)
                 metrics["rows"] = metrics.get("rows", 0) + rows
             except FileNotFoundError:
                 current, metrics = kernel, {"rows": rows}
-            metrics["last_epoch"] = epoch_id
+            metrics[guard_key] = epoch_id
             store.save_kernel(name, current, metrics)
 
     return _apply

@@ -123,6 +123,11 @@ def main() -> None:
             hist = json.load(f)
     for name, res in (("strong_lo", strong_lo), ("strong_hi", strong_hi), ("weak_lo", weak_lo)):
         h = hist.setdefault(name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"]})
+        if h.get("rows") != res["rows"] or h.get("cpus") != res["cpus"]:
+            # dataset/level geometry changed: old samples describe a
+            # different workload — start the entry over instead of merging
+            # mismatched rows/min
+            h = hist[name] = {"samples": [], "rows": res["rows"], "cpus": res["cpus"]}
         h["samples"] += res["samples"]
         best = min(h["samples"])
         res["suite_sec"] = best
@@ -192,7 +197,7 @@ sketch updates per turn: at local[8] that is
 ({5*strong_hi['turns_per_sec']/1_890_000:.1f}x the C single-thread add rate,
 while also scanning parquet and maintaining five sketches).
 
-## Accuracy acceptance (enforced in tests / the 31-query oracle gate)
+## Accuracy acceptance (enforced in tests / the query oracle gate (tools/check_correctness.py))
 
 | bound | target | measured |
 |---|---|---|
