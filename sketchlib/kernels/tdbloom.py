@@ -121,6 +121,85 @@ class TdBloomFilter:
         la = self.last_access_time(data, offsets)
         return (la >= start) & (la <= end)
 
+    # -- declared-only reference TODOs, implemented as extensions ----------
+    # (src/tdbloom.h declares lookup_or_add / adjust_timeout / age_element /
+    # expire_older_than / get_average_lifetime but tdbloom.c never defines
+    # them; semantics below follow the tdcbloom counterparts where those
+    # exist.  expire_below_count / expire_by_frequency are ALSO declared but
+    # require per-element counters a plain tdbloom does not store — the
+    # counting variants live on TdCBloomFilter/CountingBloomFilter
+    # (age_and_remove, clear_if_count_above).)
+
+    def lookup_or_add(self, data, offsets, as_of: int) -> np.ndarray:
+        """Fresh membership as-of T, stamping every probed element at T
+        (declared-only tdbloom_lookup_or_add, src/tdbloom.h): returns
+        was-fresh bools; probed keys are (re)stamped regardless, like
+        bloom_lookup_or_add's unconditional insert."""
+        present = self.contains(data, offsets, as_of)
+        self.update(
+            data, offsets, np.full(len(offsets) - 1, int(as_of), dtype=np.int64)
+        )
+        return present
+
+    def lookup_or_add_strings(self, keys, as_of: int) -> np.ndarray:
+        return self.lookup_or_add(*mmh3.pack_strings(keys), as_of=as_of)
+
+    def adjust_timeout(self, new_timeout: int, as_of: int) -> int:
+        """Change the decay window and reap cells expired under the NEW
+        policy (declared-only in tdbloom.h; semantics of the defined
+        tdcbloom_adjust_timeout, src/tdcbloom.c:303-320).  Returns reaped
+        cells."""
+        import dataclasses
+
+        self.spec = dataclasses.replace(self.spec, timeout=int(new_timeout))
+        T = int(as_of) - self.spec.start_time
+        age = np.int64(T) - (self.ticks.astype(np.int64) - 1)
+        stale = (self.ticks > 0) & ((age < 0) | (age > int(new_timeout)))
+        n = int(np.count_nonzero(stale))
+        self.ticks[stale] = 0
+        return n
+
+    def age_element(self, data, offsets, age_amount: int) -> np.ndarray:
+        """Subtract ``age_amount`` seconds from an element's k cell timers
+        (declared-only; tdcbloom_age_element semantics minus counters):
+        walks cells in hash order, stops at the first EMPTY cell returning
+        False (walked cells stay aged), floors timers at 0."""
+        pos = mmh3.positions(data, offsets, self.k, self.m, self.spec.seed)
+        out = np.empty(pos.shape[0], dtype=bool)
+        amt = int(age_amount)
+        for i in range(pos.shape[0]):
+            ok = True
+            for p in pos[i]:
+                t = int(self.ticks[p])
+                if t == 0:
+                    ok = False
+                    break
+                self.ticks[p] = np.int32(t - amt) if t > amt else np.int32(0)
+            out[i] = ok
+        return out
+
+    def age_element_strings(self, keys, age_amount: int) -> np.ndarray:
+        return self.age_element(*mmh3.pack_strings(keys), age_amount=age_amount)
+
+    def expire_older_than(self, max_age: int, as_of: int) -> int:
+        """Zero every occupied cell older than ``max_age`` as-of T
+        (declared-only tdbloom_expire_older_than; the filter-wide analog of
+        clear_expired with an explicit age bound).  Returns cells expired."""
+        T = int(as_of) - self.spec.start_time
+        age = np.int64(T) - (self.ticks.astype(np.int64) - 1)
+        kill = (self.ticks > 0) & (age > int(max_age))
+        n = int(np.count_nonzero(kill))
+        self.ticks[kill] = 0
+        return n
+
+    def get_average_lifetime(self, as_of: int) -> float:
+        """Mean age (seconds) of the LIVE cells as-of T (declared-only
+        tdbloom_get_average_lifetime); 0.0 when nothing is live."""
+        T = int(as_of) - self.spec.start_time
+        age = np.int64(T) - (self.ticks.astype(np.int64) - 1)
+        live = (self.ticks > 0) & (age >= 0) & (age <= self.spec.timeout)
+        return float(age[live].mean()) if live.any() else 0.0
+
     # -- maintenance ------------------------------------------------------
     def reset_if_expired(self, data, offsets, as_of: int) -> np.ndarray:
         """Re-stamp expired elements at ``as_of`` (tdbloom_reset_if_expired,

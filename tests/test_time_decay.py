@@ -219,3 +219,44 @@ def test_tdcbloom_age_element_and_age_and_remove():
     assert removed >= spec.k
     assert not bool(f.contains_strings(["x"], as_of=as_of)[0])
     assert int(f.counters.sum()) == 0
+
+
+def test_tdbloom_declared_only_extensions():
+    """The tdbloom.h declared-but-never-defined ops, as extensions:
+    lookup_or_add / adjust_timeout / age_element / expire_older_than /
+    get_average_lifetime."""
+    spec = TdBloomSpec(50, 0.01, timeout=100, start_time=BASE)
+    f = TdBloomFilter(spec)
+    as_of = BASE + 50
+    # lookup_or_add: absent -> False + stamped; present -> True
+    got = f.lookup_or_add_strings(["a", "b"], as_of)
+    assert list(got) == [False, False]
+    assert list(f.lookup_or_add_strings(["a", "c"], as_of)) == [True, False]
+    assert bool(f.contains_strings(["b"], as_of=as_of)[0])
+
+    # get_average_lifetime: all stamped at as_of -> age 50 relative? no:
+    # ticks are at as_of, so age as-of as_of is 0
+    assert f.get_average_lifetime(as_of) == 0.0
+    later = as_of + 30
+    assert abs(f.get_average_lifetime(later) - 30.0) < 1e-9
+
+    # age_element: age "a" by 80s -> age 110 as-of later, outside timeout=100
+    assert bool(f.age_element_strings(["a"], 80)[0])
+    assert not bool(f.contains_strings(["a"], as_of=later)[0])
+    assert not bool(f.age_element_strings(["missing-key-xyz"], 5)[0])
+
+    # expire_older_than: b/c cells (age 30 as-of later) reaped at bound 25
+    n = f.expire_older_than(25, later)
+    assert n >= spec.k
+    assert not bool(f.contains_strings(["b"], as_of=later)[0])
+
+    # adjust_timeout: fresh key at `later`, then shrink the window under its
+    # age -> reaped under the NEW policy
+    f2 = TdBloomFilter(TdBloomSpec(50, 0.01, timeout=100, start_time=BASE))
+    f2.update_strings(["k"], [BASE + 10])
+    probe_t = BASE + 60
+    assert bool(f2.contains_strings(["k"], as_of=probe_t)[0])
+    reaped = f2.adjust_timeout(20, probe_t)  # age 50 > 20
+    assert reaped >= f2.spec.k
+    assert f2.spec.timeout == 20
+    assert not bool(f2.contains_strings(["k"], as_of=probe_t)[0])
