@@ -13,5 +13,7 @@ The lifecycle (SURVEY.md §3.4):
 """
 
 from sketchlib.spark.session import get_spark
-from sketchlib.spark.agg import build_sketch, sketch_partials
+from sketchlib.spark.agg import build_many, build_sketch, sketch_partials
 from sketchlib.spark import probe  # noqa: F401
+from sketchlib.spark.cuckoo_dist import build_sharded_cuckoo, cuckoo_probe_column  # noqa: F401
+from sketchlib.spark.rollup import merge_range, read_rollup, sketch_rollup, write_rollup  # noqa: F401
