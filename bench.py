@@ -31,6 +31,9 @@ from sketchlib.specs import BloomSpec, CmsSpec, HllSpec, TdBloomSpec  # noqa: E4
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# global wall budget (sec) split across the build (45%) and query (55%)
+# phases — extra min-of-N reps are skipped once a phase overruns its share
+_BUDGET_SEC = float(os.environ.get("SKETCHLIB_BENCH_BUDGET_SEC", "420"))
 N_CONV = int(os.environ.get("SKETCHLIB_BENCH_CONVS", "100000"))
 CACHE_DIR = os.environ.get("SKETCHLIB_BENCH_CACHE", "/tmp/sketchlib_bench")
 
@@ -92,8 +95,15 @@ def bench_transcripts(spark) -> dict:
     # (round 1's serial min-of-3 caught a burst and reported 18.7s for a
     # ~2s build) — the min over interleaved reps isolates the engine.
     reps = int(os.environ.get("SKETCHLIB_BENCH_REPS", "4"))
+    # time budget: under a tenant burst every build runs 3-10x slow; keep
+    # at least one rep per level, then stop adding reps once the build
+    # phase has spent its share of the budget
+    build_budget = 0.45 * _BUDGET_SEC
+    t0_phase = time.perf_counter()
     t_auto, t_n, t_4n = [], [], []
-    for _ in range(reps):
+    for i in range(reps):
+        if i > 0 and time.perf_counter() - t0_phase > build_budget:
+            break
         t_auto.append(_timed(lambda: build_many(tr, jobs)))
         t_n.append(_timed(lambda: build_many(tr, jobs, parallelism=2)))
         t_4n.append(_timed(lambda: build_many(tr, jobs, parallelism=8)))
@@ -138,12 +148,18 @@ def bench_queries(spark) -> dict[str, float]:
 
     # min-of-2 per query: a single-shot timing on this time-shared host can
     # catch a tenant burst and report 10-50x the engine's number (lang_id
-    # measured 3.3s and 54.9s in back-to-back suite runs)
+    # measured 3.3s and 54.9s in back-to-back suite runs).  Under a long
+    # burst the whole suite runs slow, so extra reps stop once the query
+    # phase exceeds its time-budget share — every query still runs once.
     runs = int(os.environ.get("SKETCHLIB_QUERY_REPS", "2"))
+    t0_phase = time.perf_counter()
+    query_budget = 0.55 * _BUDGET_SEC
     out = {}
     for name, fn in entrymod.queries().items():
         best = float("inf")
-        for _ in range(runs):
+        for r in range(runs):
+            if r > 0 and time.perf_counter() - t0_phase > query_budget:
+                break
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)
