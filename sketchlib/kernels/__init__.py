@@ -22,6 +22,7 @@ from sketchlib.kernels.tdcbloom import TdCBloomFilter
 from sketchlib.kernels.cuckoo import CuckooFilter
 from sketchlib.kernels.kll import KllSketch
 from sketchlib.kernels.tdigest import TDigest
+from sketchlib.kernels.mg import MisraGries
 
 KERNEL_BY_KIND = {
     "bloom": BloomFilter,
@@ -33,6 +34,7 @@ KERNEL_BY_KIND = {
     "cuckoo": CuckooFilter,
     "kll": KllSketch,
     "tdigest": TDigest,
+    "mg": MisraGries,
 }
 
 __all__ = [
@@ -45,5 +47,6 @@ __all__ = [
     "CuckooFilter",
     "KllSketch",
     "TDigest",
+    "MisraGries",
     "KERNEL_BY_KIND",
 ]

@@ -186,6 +186,36 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out)
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters over events — the one-sided complement of
+    CMS (never overcounts; undercount ≤ N/(k+1); every key above the
+    threshold guaranteed present, WITH its key — no candidate set needed)."""
+    from sketchlib.specs import MGSpec
+
+    events = _read(spark, sf_dir, "events")
+    spec = MGSpec(k=64)
+    kernel, total = build_sketch(events, spec, key="event_type")
+    exact = events.groupBy("event_type").count().withColumnRenamed("count", "cnt")
+    rows = exact.collect()
+    keys = [str(r["event_type"]) for r in rows]
+    est = kernel.estimate_strings(keys)
+    bound = total // (spec.k + 1) + 1
+    present = {k_ for k_, _ in kernel.heavy_hitters()}
+    out = [
+        Row(
+            event_type=k_,
+            cnt=int(r["cnt"]),
+            never_overcounts=bool(e <= r["cnt"]),
+            undercount_within_bound=bool(r["cnt"] - e <= bound),
+            guaranteed_present=bool(
+                k_.encode() in present if r["cnt"] > bound else True
+            ),
+        )
+        for k_, r, e in zip(keys, rows, est)
+    ]
+    return spark.createDataFrame(out)
+
+
 def q_cbloom_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counting-bloom min-count per lineitem returnflag — exact group counts
     + the reference's one-sided guarantee (cbloom_count semantics,
@@ -909,6 +939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_membership": q_bloom_membership,
     "cuckoo_membership": q_cuckoo_membership,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "mg_heavy_hitters": q_mg_heavy_hitters,
     "cbloom_point_counts": q_cbloom_point_counts,
     "tdbloom_recent_users": q_tdbloom_recent_users,
     "tdcbloom_windowed_counts": q_tdcbloom_windowed_counts,
@@ -1002,6 +1033,14 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS cnt,
                TRUE AS never_undercounts,
                TRUE AS overcount_within_epsN
+        FROM events GROUP BY event_type
+    """,
+    "mg_heavy_hitters": """
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               TRUE AS never_overcounts,
+               TRUE AS undercount_within_bound,
+               TRUE AS guaranteed_present
         FROM events GROUP BY event_type
     """,
     "cbloom_point_counts": """

@@ -296,6 +296,15 @@ class TDigestSpec(BaseSpec):
     compression: float = 200.0
 
 
+@dataclass(frozen=True)
+class MGSpec(BaseSpec):
+    """Misra–Gries heavy-hitters summary (Agarwal et al., Mergeable
+    Summaries); north-rule extension.  ``k`` tracked entries ⇒ one-sided
+    undercount ≤ N/(k+1); every key with true count > N/(k+1) is present."""
+
+    k: int = 256
+
+
 _CLASS_BY_KIND: dict[str, type] = {
     "bloom": BloomSpec,
     "cbloom": CBloomSpec,
@@ -306,5 +315,6 @@ _CLASS_BY_KIND: dict[str, type] = {
     "cms": CmsSpec,
     "kll": KllSpec,
     "tdigest": TDigestSpec,
+    "mg": MGSpec,
 }
 _KIND_BY_CLASS = {v: k for k, v in _CLASS_BY_KIND.items()}
