@@ -146,24 +146,24 @@ def bench_queries(spark) -> dict[str, float]:
         except OSError:
             pass
 
-    # min-of-2 per query: a single-shot timing on this time-shared host can
-    # catch a tenant burst and report 10-50x the engine's number (lang_id
-    # measured 3.3s and 54.9s in back-to-back suite runs).  Under a long
-    # burst the whole suite runs slow, so extra reps stop once the query
-    # phase exceeds its time-budget share — every query still runs once.
+    # min-of-2 per query, with the reps taken in SEPARATE full passes over
+    # the suite: tenant bursts here last minutes, so two back-to-back reps
+    # of one query both land in the burst (cbloom measured 21s twice in a
+    # row vs 1.8s quiet); pass-interleaving separates a query's reps by the
+    # whole suite (~40s+).  Extra passes stop once the phase exceeds its
+    # time-budget share — every query still runs once.
     runs = int(os.environ.get("SKETCHLIB_QUERY_REPS", "2"))
     t0_phase = time.perf_counter()
     query_budget = 0.55 * _BUDGET_SEC
-    out = {}
-    for name, fn in entrymod.queries().items():
-        best = float("inf")
-        for r in range(runs):
-            if r > 0 and time.perf_counter() - t0_phase > query_budget:
-                break
+    out: dict[str, float] = {}
+    for r in range(runs):
+        if r > 0 and time.perf_counter() - t0_phase > query_budget:
+            break
+        for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
+            dt = round(time.perf_counter() - t0, 3)
+            out[name] = min(out.get(name, float("inf")), dt)
     return out
 
 

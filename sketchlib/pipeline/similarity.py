@@ -196,6 +196,10 @@ def build_srp_index(
     (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("bucket", srp_bucket_col(spark, "v", dim, planes, seed))
+        # co-locate each bucket before the partitioned write: without this,
+        # every task writes a file into every bucket dir it touches
+        # (tasks x buckets small files); with it, one file per bucket
+        .repartition(F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
@@ -288,6 +292,7 @@ def build_ivf_index(
     (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("cell", _cell(F.col("v")))
+        .repartition(F.col("cell"))  # one file per cell, not tasks x cells
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
