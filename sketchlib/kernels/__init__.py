@@ -23,6 +23,7 @@ from sketchlib.kernels.cuckoo import CuckooFilter
 from sketchlib.kernels.kll import KllSketch
 from sketchlib.kernels.tdigest import TDigest
 from sketchlib.kernels.mg import MisraGries
+from sketchlib.kernels.bottomk import BottomK
 
 KERNEL_BY_KIND = {
     "bloom": BloomFilter,
@@ -35,6 +36,7 @@ KERNEL_BY_KIND = {
     "kll": KllSketch,
     "tdigest": TDigest,
     "mg": MisraGries,
+    "bottomk": BottomK,
 }
 
 __all__ = [
@@ -48,5 +50,6 @@ __all__ = [
     "KllSketch",
     "TDigest",
     "MisraGries",
+    "BottomK",
     "KERNEL_BY_KIND",
 ]

@@ -186,6 +186,45 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out)
 
 
+def q_bottomk_distinct_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) sketch: a DETERMINISTIC uniform sample over distinct
+    user_ids + a cardinality estimate, one tiny mergeable state (byte-
+    identical merges).  Carriers: exact distinct count and the exact sample
+    size min(k, distinct); bounds: every sampled key really occurs (checked
+    distributed via left-semi join), estimate within 4/sqrt(k-2)."""
+    from sketchlib.specs import BottomKSpec
+
+    events = _read(spark, sf_dir, "events")
+    spec = BottomKSpec(k=256)
+    kernel, _ = build_sketch(events, spec, key="user_id")
+    true_d = int(events.select(F.countDistinct("user_id").alias("d")).first()["d"])
+    sample = [s.decode() for s in kernel.sample()]
+    sample_df = spark.createDataFrame([(s,) for s in sample], "user_id string")
+    valid = (
+        sample_df.join(
+            events.select(F.col("user_id").cast("string")).distinct(),
+            "user_id",
+            "left_semi",
+        ).count()
+        == len(sample)
+    )
+    est = kernel.distinct_estimate()
+    if true_d < spec.k:
+        est_ok = est == float(true_d)
+    else:
+        est_ok = abs(est - true_d) / true_d <= 4.0 / np.sqrt(spec.k - 2)
+    return spark.createDataFrame(
+        [
+            Row(
+                true_distinct=true_d,
+                sample_size=len(sample),
+                sample_all_valid=bool(valid),
+                est_within_bound=bool(est_ok),
+            )
+        ]
+    )
+
+
 def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries heavy hitters over events — the one-sided complement of
     CMS (never overcounts; undercount ≤ N/(k+1); every key above the
@@ -936,6 +975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "hll_distinct_user_type": q_hll_distinct_user_type,
     "hll_daily_rollup": q_hll_daily_rollup,
+    "bottomk_distinct_sample": q_bottomk_distinct_sample,
     "bloom_membership": q_bloom_membership,
     "cuckoo_membership": q_cuckoo_membership,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -1034,6 +1074,13 @@ ORACLES: dict[str, str] = {
                TRUE AS never_undercounts,
                TRUE AS overcount_within_epsN
         FROM events GROUP BY event_type
+    """,
+    "bottomk_distinct_sample": """
+        SELECT COUNT(DISTINCT user_id) AS true_distinct,
+               LEAST(256, COUNT(DISTINCT user_id)) AS sample_size,
+               TRUE AS sample_all_valid,
+               TRUE AS est_within_bound
+        FROM events
     """,
     "mg_heavy_hitters": """
         SELECT event_type,

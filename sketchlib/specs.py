@@ -297,6 +297,15 @@ class TDigestSpec(BaseSpec):
 
 
 @dataclass(frozen=True)
+class BottomKSpec(BaseSpec):
+    """Bottom-k / KMV distinct sketch (Bar-Yossef et al. 2002, Beyer et al.
+    SIGMOD'07); north-rule extension.  Deterministic distinct sample +
+    cardinality (rel. err ~ 1/sqrt(k-2)) + Jaccard; byte-identical merges."""
+
+    k: int = 1024
+
+
+@dataclass(frozen=True)
 class MGSpec(BaseSpec):
     """Misra–Gries heavy-hitters summary (Agarwal et al., Mergeable
     Summaries); north-rule extension.  ``k`` tracked entries ⇒ one-sided
@@ -316,5 +325,6 @@ _CLASS_BY_KIND: dict[str, type] = {
     "kll": KllSpec,
     "tdigest": TDigestSpec,
     "mg": MGSpec,
+    "bottomk": BottomKSpec,
 }
 _KIND_BY_CLASS = {v: k for k, v in _CLASS_BY_KIND.items()}
