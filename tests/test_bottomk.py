@@ -99,3 +99,16 @@ def test_distributed_build_matches_local():
     true_d = events.select(F.countDistinct("user_id")).first()[0]
     if true_d < 128:
         assert kernel.distinct_estimate() == float(true_d)
+
+
+def test_empty_and_incompatible():
+    spec = BottomKSpec(k=8)
+    a = BottomK(spec)
+    assert a.distinct_estimate() == 0.0 and a.sample() == []
+    b = BottomK(spec); b.update_strings(["x"])
+    a.merge(b)
+    assert a.sample() == [b"x"]
+    with pytest.raises(ValueError):
+        a.merge(BottomK(BottomKSpec(k=9)))
+    blob = BottomK(spec).serialize()
+    assert BottomK.deserialize(spec, blob).sample() == []

@@ -92,3 +92,14 @@ def test_distributed_build_bounds():
     for key, e in zip(exact, est):
         assert e <= exact[key]
         assert exact[key] - e <= total // (k + 1) + 1
+
+
+def test_mg_empty_and_incompatible():
+    mg = MisraGries(MGSpec(k=4))
+    assert list(mg.estimate_strings(["nope"])) == [0]
+    assert mg.heavy_hitters() == []
+    blob = mg.serialize()
+    back = MisraGries.deserialize(MGSpec(k=4), blob)
+    assert back.heavy_hitters() == []
+    with pytest.raises(ValueError):
+        mg.merge(MisraGries(MGSpec(k=5)))

@@ -80,3 +80,19 @@ def test_rollup_persist_and_pruned_read(spark, events, tmp_path):
     k1, n1 = merge_range(pruned, spec)
     k2, n2 = merge_range(rollup, spec, start=mid)
     assert k1.serialize() == k2.serialize() and n1 == n2
+
+
+def test_rollup_empty_and_null_ts(spark):
+    """Empty input -> empty rollup; null-ts rows dropped, not crashed."""
+    spec = HllSpec(p=12)
+    empty = spark.createDataFrame([], "user_id string, ts timestamp")
+    assert sketch_rollup(empty, spec, key="user_id").count() == 0
+    mixed = spark.createDataFrame(
+        [("u1", "2026-01-01 00:00:00"), ("u2", None)],
+        "user_id string, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    roll = sketch_rollup(mixed, spec, key="user_id")
+    rows = roll.collect()
+    assert len(rows) == 1 and rows[0]["rows"] == 1
+    merged, n = merge_range(roll, spec)
+    assert n == 1 and round(merged.estimate()) == 1
