@@ -333,6 +333,7 @@ def near_dup_pairs_bucketed(
     planes: int = 12,
     seed: int = 7,
     multiprobe_bits: int = 1,
+    gemm_tile: int = 4096,
 ) -> DataFrame:
     """All pairs with cosine ≥ τ, the SCALE path: SRP-bucket every vector
     (each vector also emitted to its 1-bit-flip neighbor buckets —
@@ -341,7 +342,16 @@ def near_dup_pairs_bucketed(
     deduped across buckets.  No driver collect, no full-matrix broadcast:
     work is quadratic per bucket, not per corpus.  For cos ≥ 0.999 pairs at
     planes=12 the 1-bit multiprobe recall is ≥ 0.999 (P[plane splits a
-    2.6-degree pair] ≈ 0.014); identical vectors always share every bucket."""
+    2.6-degree pair] ≈ 0.014); identical vectors always share every bucket.
+
+    Hot-bucket safety (the dup-heavy worst case): inside each bucket,
+    byte-identical vectors are collapsed to one representative before the
+    GEMM (cost quadratic in distinct vectors), within-group pairs are clique-
+    expanded arithmetically, and the GEMM itself is tiled at ``gemm_tile`` so
+    peak intermediate memory is O(gemm_tile²) regardless of bucket size.
+    Output cardinality (= the actual qualifying pairs) remains the contract;
+    at 100 TB run exact dedup first so identical documents don't demand
+    quadratic pair OUTPUT here."""
     spark = df.sparkSession
     first = df.select(vec_col).first()
     if first is None:
@@ -361,6 +371,7 @@ def near_dup_pairs_bucketed(
     )
 
     thr = float(threshold)
+    tile = int(gemm_tile)
 
     def bucket_pairs(tbl: pa.Table) -> pa.Table:
         ids = tbl.column("id").to_numpy(zero_copy_only=False)
@@ -368,26 +379,85 @@ def near_dup_pairs_bucketed(
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         n = len(ids)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+            }
+        )
         if n < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "cos": pa.array([], type=pa.float64()),
-                }
-            )
+            return empty
         M = _normalize(
             arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, -1)
         )
-        sims = M @ M.T
-        ii, jj = np.nonzero(sims >= thr)
-        ia, ja = ids[ii], ids[jj]
-        keep = ia < ja
+        # Hot-bucket guard, part 1: collapse byte-identical vectors.  The
+        # target workload (dup-heavy corpora) concentrates exact copies of
+        # a few embeddings into one bucket; GEMM cost must be quadratic in
+        # DISTINCT vectors, not rows.  10^5 copies of 200 vectors -> 200x200
+        # GEMM + arithmetic clique expansion instead of a 10^5 x 10^5 matrix.
+        U, first, inv = np.unique(M, axis=0, return_index=True, return_inverse=True)
+        g = U.shape[0]
+        order = np.argsort(inv, kind="stable")
+        sorted_ids = ids[order]
+        starts = np.searchsorted(inv[order], np.arange(g))
+        ends = np.append(starts[1:], n)
+        cnt = ends - starts
+
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+
+        def emit_cross(gi: int, gj: int, s: float) -> None:
+            A = sorted_ids[starts[gi]:ends[gi]]
+            B = sorted_ids[starts[gj]:ends[gj]]
+            ia = np.repeat(A, B.size)
+            ja = np.tile(B, A.size)
+            out_a.append(np.minimum(ia, ja))
+            out_b.append(np.maximum(ia, ja))
+            out_c.append(np.full(ia.size, round(float(s), 6)))
+
+        # Hot-bucket guard, part 2: tiled GEMM over the distinct vectors —
+        # intermediate memory is O(tile^2), never O(g^2), so a bucket of many
+        # distinct-but-clustered vectors takes time, not executor memory.
+        for i0 in range(0, g, tile):
+            Ui = U[i0 : i0 + tile]
+            for j0 in range(i0, g, tile):
+                S = Ui @ U[j0 : j0 + tile].T
+                ii, jj = np.nonzero(S >= thr)
+                if ii.size == 0:
+                    continue
+                gi = ii + i0
+                gj = jj + j0
+                keep = gi < gj
+                gi, gj, sv = gi[keep], gj[keep], S[ii[keep], jj[keep]]
+                if gi.size == 0:
+                    continue
+                single = (cnt[gi] == 1) & (cnt[gj] == 1)
+                if single.any():
+                    ia = ids[first[gi[single]]]
+                    ja = ids[first[gj[single]]]
+                    out_a.append(np.minimum(ia, ja))
+                    out_b.append(np.maximum(ia, ja))
+                    out_c.append(np.round(sv[single], 6))
+                for a, b, s in zip(gi[~single], gj[~single], sv[~single]):
+                    emit_cross(int(a), int(b), float(s))
+        # Diagonal cliques: identical vectors have cosine exactly 1 (matches
+        # the old GEMM-then-round(,6) value), so every within-group pair hits.
+        if thr <= 1.0:
+            for gidx in np.nonzero(cnt > 1)[0]:
+                A = np.sort(sorted_ids[starts[gidx]:ends[gidx]])
+                iu, ju = np.triu_indices(A.size, 1)
+                out_a.append(A[iu])
+                out_b.append(A[ju])
+                out_c.append(np.full(iu.size, 1.0))
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(ia[keep], type=pa.int64()),
-                "id_b": pa.array(ja[keep], type=pa.int64()),
-                "cos": pa.array(np.round(sims[ii, jj][keep], 6), type=pa.float64()),
+                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
             }
         )
 

@@ -163,16 +163,25 @@ def cuckoo_probe_column(spark: SparkSession, sharded: ShardedCuckoo, col) -> Col
     @F.pandas_udf("boolean")
     def _probe(keys: pd.Series, shards: pd.Series) -> pd.Series:
         filters = _resolve_shards(bc)
-        arr = pa.Array.from_pandas(keys.astype("string"), type=pa.large_string())
-        sh = shards.to_numpy()
+        # null keys route to a null shard (float NaN series) — mask them out
+        # up front (a null key is never a member) so int(s) below can't blow
+        # up; the build path already filters nulls symmetrically.
+        valid = keys.notna() & shards.notna()
         out = np.zeros(len(keys), dtype=bool)
+        if not valid.any():
+            return pd.Series(out)
+        keys = keys[valid]
+        arr = pa.Array.from_pandas(keys.astype("string"), type=pa.large_string())
+        sh = shards[valid].to_numpy()
+        sub = np.zeros(len(keys), dtype=bool)
         for s in np.unique(sh):
             f = filters.get(int(s))
             if f is None:
                 continue
             idx = np.nonzero(sh == s)[0]
             data, off = mmh3.arrow_string_buffers(arr.take(pa.array(idx)))
-            out[idx] = f.contains(data, off)
+            sub[idx] = f.contains(data, off)
+        out[valid.to_numpy()] = sub
         return pd.Series(out)
 
     return _probe(kcol, _route(kcol, sharded.n_shards))

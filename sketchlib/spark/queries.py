@@ -1151,7 +1151,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(CASE WHEN LEAST(GREATEST(score, 0), 1) >= 0.5 THEN 1 ELSE 0 END) AS n_quality
+               CAST(SUM(CASE WHEN LEAST(GREATEST(score, 0), 1) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
         FROM q GROUP BY source
     """,
     "gaussiannb_events": """
@@ -1243,10 +1243,10 @@ ORACLES: dict[str, str] = {
     "text_stats": """
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS sum_tokens,
-               SUM(length(text)) AS sum_chars,
-               SUM(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS sum_punct,
-               SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS sum_alpha
+               CAST(SUM(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS BIGINT) AS sum_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+               CAST(SUM(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS BIGINT) AS sum_punct,
+               CAST(SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS sum_alpha
         FROM documents GROUP BY source
     """,
     "lang_id": """
@@ -1271,9 +1271,9 @@ ORACLES: dict[str, str] = {
     """,
     "multimodal_features": """
         SELECT COUNT(*) AS n_media,
-               SUM(octet_length(encode(text))) AS total_bytes,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                3 AS feat_dim,
-               SUM((length(text) % 50 + 1 + 6) // 7) AS n_sampled_frames
+               CAST(SUM((length(text) % 50 + 1 + 6) // 7) AS BIGINT) AS n_sampled_frames
         FROM documents
     """,
 }

@@ -71,3 +71,16 @@ def test_overflow_raises(spark):
     big = spark.range(5000).select(F.col("id"))
     with pytest.raises(RuntimeError, match="overflow"):
         build_sharded_cuckoo(big, "id", tiny, n_shards=2)
+
+
+def test_probe_null_keys(spark, docs):
+    """A nullable probe column must not crash the routed probe UDF (null
+    routes to a NaN shard); null keys simply probe False."""
+    spec = CuckooSpec(2048, bucket_size=4, seed=1)
+    sh = build_sharded_cuckoo(docs, "id", spec, n_shards=4)
+    with_nulls = docs.unionByName(
+        spark.range(5).select(F.lit(None).cast("long").alias("id"))
+    )
+    hits = with_nulls.withColumn("hit", cuckoo_probe_column(spark, sh, "id"))
+    assert hits.filter(F.col("id").isNull() & F.col("hit")).count() == 0
+    assert hits.filter(F.col("id").isNotNull() & ~F.col("hit")).count() == 0

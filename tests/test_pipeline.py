@@ -313,3 +313,96 @@ def test_ivf_index_recall_and_pruning(spark, emb, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan[:600]
+
+
+def test_near_dup_bucketed_collapse_and_tiling_correct(spark):
+    """Duplicate groups + cross-group near-pairs, with gemm_tile=2 forcing
+    tile boundaries through every group combination — the collapsed/tiled
+    bucket kernel must emit exactly the exact-path pairs."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    bases = [rng.standard_normal(8) for _ in range(5)]
+    rows = []
+    vid = 0
+    for gi, b in enumerate(bases):
+        for _ in range(gi + 1):  # group sizes 1..5 (exact copies)
+            rows.append((vid, b.tolist()))
+            vid += 1
+        # a near-twin of base 0 (cross-group pair above threshold)
+        if gi == 0:
+            twin = b + 1e-4 * np.linalg.norm(b) * rng.standard_normal(8)
+            rows.append((vid, twin.tolist()))
+            vid += 1
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.near_dup_pairs_exact(corpus, threshold=0.999).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.near_dup_pairs_bucketed(
+            corpus, threshold=0.999, gemm_tile=2
+        ).collect()
+    }
+    assert set(bucketed) == set(exact)
+    for k, v in exact.items():
+        assert abs(bucketed[k] - v) < 1e-9
+
+
+def test_near_dup_hot_bucket_bounded(spark):
+    """Adversarial hot bucket (VERDICT r2 #3): 20k distinct vectors in one
+    tight cone — every vector lands in the SAME SRP bucket.  The old dense
+    kernel would allocate a 20k x 20k (3.2 GB) sims matrix in one task; the
+    tiled kernel peaks at gemm_tile^2.  Must complete and match exact."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n, dim = 20_000, 16
+    u = rng.standard_normal(dim)
+    u /= np.linalg.norm(u)
+    # tight cone: pairwise cos mostly ~0.998-1.0, a fraction above 0.9995
+    noise = rng.standard_normal((n, dim)) / np.sqrt(dim)
+    M = u[None, :] + 0.03 * noise
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": [r.tolist() for r in M]})
+    )
+    thr = 0.9995
+    bucketed = similarity.near_dup_pairs_bucketed(
+        corpus, threshold=thr, multiprobe_bits=0, gemm_tile=4096
+    )
+    exact = similarity.near_dup_pairs_exact(corpus, threshold=thr)
+    nb, ne = bucketed.count(), exact.count()
+    assert ne > 100, f"fixture produced too few qualifying pairs ({ne})"
+    # one cone => one bucket => the bucketed path sees every pair: recall 1
+    assert nb == ne, f"bucketed {nb} != exact {ne}"
+
+
+def test_near_dup_hot_bucket_duplicate_heavy(spark):
+    """Dup-heavy hot bucket: 50k rows but only 500 distinct vectors. The
+    collapse step makes the GEMM 500x500 regardless of row count; clique
+    expansion must produce exactly the per-group pair counts."""
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    groups, copies, dim = 500, 100, 8
+    B = rng.standard_normal((groups, dim))
+    vec_ids = np.arange(groups * copies)
+    emb_rows = [B[i % groups].tolist() for i in range(groups * copies)]
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": vec_ids, "embedding": emb_rows})
+    )
+    pairs = similarity.near_dup_pairs_bucketed(
+        corpus, threshold=0.9999, multiprobe_bits=0
+    )
+    from pyspark.sql import functions as F2
+
+    # random dim-8 bases are far apart at cos>=0.9999 => only clique pairs
+    expected = groups * (copies * (copies - 1) // 2)
+    got = pairs.agg(
+        F2.count("*").alias("n"), F2.min("cos").alias("mn"), F2.max("cos").alias("mx")
+    ).first()
+    assert got["n"] == expected, f"{got['n']} != {expected}"
+    assert got["mn"] == 1.0 and got["mx"] == 1.0
