@@ -110,6 +110,32 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-via-JOIN for sketches too big to broadcast (the 100-TB probe
+    path): the Bloom state is built as key-routed shards and probed by
+    cogrouping probe rows with their shard's state — the merged filter is
+    never broadcast and never touches the driver.  At p=1e-9 the probe
+    equals the exact semi-join (no false negatives; expected FP ≈ n·p ≪ 1).
+    The routed_not_broadcast flag is asserted from the PHYSICAL PLAN:
+    FlatMapCoGroupsInArrow present, BroadcastExchange absent."""
+    from sketchlib.spark.probe_join import build_sharded_states, probe_sharded
+
+    events = _read(spark, sf_dir, "events")
+    members = events.filter(F.col("event_type") == "purchase")
+    spec = BloomSpec(100_000, 1e-9)  # per-shard geometry
+    states = build_sharded_states(members, "user_id", spec, n_shards=8)
+    probed = probe_sharded(
+        states, events.select("user_id").distinct(), "user_id", spec=spec
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    routed = ("FlatMapCoGroupsInArrow" in plan) and ("BroadcastExchange" not in plan)
+    return (
+        probed.filter("hit")
+        .select("user_id")
+        .withColumn("routed_not_broadcast", F.lit(bool(routed)))
+    )
+
+
 def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cuckoo membership with deletions, DISTRIBUTED: insert even doc_ids,
     remove the ones divisible by 10, probe all — retained members are found
@@ -977,6 +1003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_daily_rollup": q_hll_daily_rollup,
     "bottomk_distinct_sample": q_bottomk_distinct_sample,
     "bloom_membership": q_bloom_membership,
+    "bloom_probe_join": q_bloom_probe_join,
     "cuckoo_membership": q_cuckoo_membership,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -1057,6 +1084,11 @@ ORACLES: dict[str, str] = {
     """,
     "bloom_membership": """
         SELECT DISTINCT user_id
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    "bloom_probe_join": """
+        SELECT DISTINCT user_id, TRUE AS routed_not_broadcast
         FROM events
         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
