@@ -10,6 +10,8 @@
     python -m sketchlib merge  <store> <in1> <in2> <out>  # bloomtool merge (OR)
     python -m sketchlib intersect <store> <in1> <in2> <out>      # AND
     python -m sketchlib intersection <store> <in1> <in2>  # Jaccard %
+    python -m sketchlib export <store> <name> <file>      # native !bloomf! file
+    python -m sketchlib import <store> <name> <file> [--timeout N]  # load one
 
 ``query`` exits 0 when present, 1 when absent, like the reference
 (bin/bloomtool.c:81-105).
@@ -108,6 +110,26 @@ def cmd_intersection(a) -> int:
     return 0
 
 
+def cmd_export(a) -> int:
+    """Write a store sketch as a native archbloom filter file (!bloomf! /
+    !cbloom! / !tdbloo!, sketchlib/formats.py) the C library can load."""
+    from sketchlib.formats import export_file
+
+    kernel, _ = _store(a.store).load_kernel(a.name)
+    export_file(kernel, a.file)
+    return 0
+
+
+def cmd_import(a) -> int:
+    """Load a native archbloom filter file into the store."""
+    from sketchlib.formats import import_file
+
+    kw = {"timeout": a.timeout} if a.timeout is not None else {}
+    kernel = import_file(a.file, **kw)
+    _store(a.store).save_kernel(a.name, kernel, {"imported_from": a.file})
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sketchlib", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -146,6 +168,12 @@ def main(argv=None) -> int:
     add("merge", cmd_merge, common, (["in1"], {}), (["in2"], {}), (["out"], {}))
     add("intersect", cmd_intersect, common, (["in1"], {}), (["in2"], {}), (["out"], {}))
     add("intersection", cmd_intersection, common, (["in1"], {}), (["in2"], {}))
+    add("export", cmd_export, common, (["name"], {}), (["file"], {}))
+    add(
+        "import", cmd_import, common, (["name"], {}), (["file"], {}),
+        (["--timeout"], {"type": int, "default": None,
+                         "help": "required for C-written tdbloom files"}),
+    )
 
     a = ap.parse_args(argv)
     return a.fn(a)

@@ -117,6 +117,11 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # materialize the (small) pair set so the shingle cache can be released
+    # here instead of leaking for the session (r2 VERDICT minor #6); the
+    # checkpoint is bounded by output size, not corpus size
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 

@@ -136,6 +136,44 @@ def q_bloom_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_archbloom_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native archbloom ``!bloomf!`` file interop (src/bloom.c:525-628,
+    sketchlib/formats.py): build a Bloom over purchase users, export it to
+    the C on-disk format, re-import, and probe — the file-round-tripped
+    filter must answer exactly like the in-memory one (byte-identical
+    bitmap; geometry chosen with m % 8 == 0 so the C truncated-bitmap size
+    is lossless), which at p=1e-6 equals the exact semi-join."""
+    import os
+    import tempfile
+
+    from sketchlib.formats import bloom_export, bloom_import
+
+    events = _read(spark, sf_dir, "events")
+    members = events.filter(F.col("event_type") == "purchase")
+    # expected=200_013 → m = 5_751_408 bits (divisible by 8): C bitmap size
+    # is exact, export/import is lossless.  accuracy pre-rounded through C
+    # float, as the file header stores it, so the re-imported spec is equal.
+    spec = BloomSpec(200_013, float(np.float32(1e-6)))
+    kernel, _ = build_sketch(members, spec, key="user_id")
+    fd, path = tempfile.mkstemp(suffix=".bloomf")
+    os.close(fd)
+    try:
+        bloom_export(kernel, path)
+        back = bloom_import(path)
+        identical = bool(np.array_equal(back.bits, kernel.bits)) and (
+            back.spec == kernel.spec
+        )
+    finally:
+        os.unlink(path)
+    return (
+        events.withColumn("hit", probe.probe_column(spark, back, "user_id"))
+        .filter("hit")
+        .select("user_id")
+        .distinct()
+        .withColumn("file_roundtrip_identical", F.lit(identical))
+    )
+
+
 def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cuckoo membership with deletions, DISTRIBUTED: insert even doc_ids,
     remove the ones divisible by 10, probe all — retained members are found
@@ -286,7 +324,11 @@ def q_cbloom_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     + the reference's one-sided guarantee (cbloom_count semantics,
     src/cbloom.c:257-274)."""
     li = _read(spark, sf_dir, "lineitem")
-    spec = CBloomSpec(300_000, 0.01, counter_bits=32)
+    # expected sizes the counter ARRAY for distinct keys (3 returnflags here),
+    # not total adds — r2 shipped 300k/11.5 MB partials for a 3-key carrier
+    # (BENCH_r02 8.5 s).  32-bit counters stay: per-key counts exceed 65k at
+    # sf>=0.1 and cbloom adds saturate, which would break never-undercounts.
+    spec = CBloomSpec(10_000, 0.001, counter_bits=32)
     kernel, _ = build_sketch(li, spec, key="l_returnflag")
     exact = li.groupBy("l_returnflag").count().withColumnRenamed("count", "cnt")
     rows = exact.collect()
@@ -326,8 +368,10 @@ def q_tdcbloom_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     t0, t1 = _ts_bounds(events)
     window = max((t1 - t0) // 3, 1)
+    # sized for distinct user_ids (~1.5k at sf0.1), not total events — the r2
+    # 200k spec moved two 2.9M-cell arrays per partial (BENCH_r02 4.4 s)
     spec = TdCBloomSpec(
-        200_000, 0.001, timeout=window, counter_bits=32, start_time=t0
+        20_000, 0.001, timeout=window, counter_bits=32, start_time=t0
     )
     kernel, _ = build_sketch(events, spec, key="user_id", ts="ts")
     exact = (
@@ -806,7 +850,8 @@ def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_ann_topk_indexed,
     )
 
-    emb = _read(spark, sf_dir, "embeddings")
+    # one cached corpus scan feeds both index builds + both reference top-ks
+    emb = _read(spark, sf_dir, "embeddings").cache()
     qt = emb.filter(F.col("vec_id") < 5).toArrow()
     queries = {
         int(i): np.array(v, dtype=np.float64)
@@ -815,18 +860,19 @@ def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = emb.count()
     tmp = tempfile.mkdtemp(prefix="sketchlib_ann_gate_")
     try:
-        # planes=6 → 64 bucket dirs: the index-write cost in this carrier is
-        # dominated by directory count, and the equality properties checked
-        # here are planes-independent
-        build_srp_index(emb, f"{tmp}/srp", planes=6, seed=7)
+        # planes=4 → 16 bucket dirs: the carrier's cost is dominated by
+        # directory count in the partitioned writes, and the equality
+        # properties checked here are planes-independent (r2 VERDICT #5)
+        build_srp_index(emb, f"{tmp}/srp", planes=4, seed=7)
         srp_idx = {(q, n) for q, n, _ in lsh_ann_topk_indexed(spark, f"{tmp}/srp", queries, k=5)}
-        srp_fly = {(q, n) for q, n, _ in lsh_ann_topk(emb, queries, k=5, planes=6, seed=7)}
-        n_cells = 16
+        srp_fly = {(q, n) for q, n, _ in lsh_ann_topk(emb, queries, k=5, planes=4, seed=7)}
+        n_cells = 8
         build_ivf_index(emb, f"{tmp}/ivf", n_cells=n_cells, seed=7)
         ivf_full = {(q, n) for q, n, _ in ivf_ann_topk(spark, f"{tmp}/ivf", queries, k=5, n_probe=n_cells)}
         exact = {(q, n) for q, n, _ in cosine_topk(emb, queries, k=5)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        emb.unpersist()
     return spark.createDataFrame(
         [
             Row(
@@ -1004,6 +1050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bottomk_distinct_sample": q_bottomk_distinct_sample,
     "bloom_membership": q_bloom_membership,
     "bloom_probe_join": q_bloom_probe_join,
+    "archbloom_file_roundtrip": q_archbloom_file_roundtrip,
     "cuckoo_membership": q_cuckoo_membership,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "mg_heavy_hitters": q_mg_heavy_hitters,
@@ -1089,6 +1136,11 @@ ORACLES: dict[str, str] = {
     """,
     "bloom_probe_join": """
         SELECT DISTINCT user_id, TRUE AS routed_not_broadcast
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    "archbloom_file_roundtrip": """
+        SELECT DISTINCT user_id, TRUE AS file_roundtrip_identical
         FROM events
         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
     """,

@@ -87,3 +87,15 @@ def test_merge_intersect_intersection(data, capsys):
 
     # merge must not have mutated the stored input (deepcopy guard)
     assert cli(["query", data["store"], "sa", "k149"]) == 1
+
+
+def test_export_import_native_format(data, tmp_path):
+    """CLI export writes a C-loadable !bloomf! file; import round-trips it
+    into a fresh store entry with identical membership answers."""
+    f = str(tmp_path / "set_a.bloomf")
+    assert cli(["export", data["store"], "set_a", f]) == 0
+    with open(f, "rb") as fh:
+        assert fh.read(8) == b"!bloomf!"
+    assert cli(["import", data["store"], "set_a_back", f]) == 0
+    assert cli(["query", data["store"], "set_a_back", "k3"]) == 0
+    assert cli(["query", data["store"], "set_a_back", "definitely-not-there"]) == 1

@@ -121,6 +121,18 @@ def main() -> None:
     if os.path.exists(cache_f):
         with open(cache_f) as f:
             hist = json.load(f)
+    # stamp samples with the code version: an all-time min can mask a code
+    # regression (stale fast samples from an older HEAD), so we keep a
+    # per-head breakdown and report current-head mins alongside
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        head = "unknown"
     for name, res in (("strong_lo", strong_lo), ("strong_hi", strong_hi), ("weak_lo", weak_lo)):
         h = hist.setdefault(name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"]})
         if h.get("rows") != res["rows"] or h.get("cpus") != res["cpus"]:
@@ -129,9 +141,11 @@ def main() -> None:
             # mismatched rows/min
             h = hist[name] = {"samples": [], "rows": res["rows"], "cpus": res["cpus"]}
         h["samples"] += res["samples"]
+        h.setdefault("by_head", {}).setdefault(head, []).extend(res["samples"])
         best = min(h["samples"])
         res["suite_sec"] = best
         res["turns_per_sec"] = round(res["rows"] / best)
+        res["suite_sec_this_head"] = min(h["by_head"][head])
         res["samples"] = h["samples"]
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(cache_f, "w") as f:
@@ -139,9 +153,13 @@ def main() -> None:
     strong_eff = (strong_lo["suite_sec"] / strong_hi["suite_sec"]) / 4
     weak_eff = weak_lo["suite_sec"] / strong_hi["suite_sec"]
     tps_ratio = strong_hi["turns_per_sec"] / weak_lo["turns_per_sec"]
+    strong_eff_head = (
+        strong_lo["suite_sec_this_head"] / strong_hi["suite_sec_this_head"]
+    ) / 4
 
     result = {
-        "strong": {"low": strong_lo, "high": strong_hi, "efficiency": round(strong_eff, 3)},
+        "strong": {"low": strong_lo, "high": strong_hi, "efficiency": round(strong_eff, 3),
+                   "efficiency_this_head": round(strong_eff_head, 3), "head": head},
         "weak": {"low": weak_lo, "high": strong_hi, "efficiency": round(weak_eff, 3),
                  "throughput_ratio_4N_vs_N": round(tps_ratio, 2)},
     }
@@ -167,6 +185,11 @@ CMS(tool), TdBloom(conv_id, ts) — deterministic transcripts (seed 42).
 | weak ({weak_lo['rows']:,} vs {strong_hi['rows']:,} turns) | local[2] | local[8] | {weak_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {weak_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{weak_eff:.3f}** |
 
 raw samples: N-strong {strong_lo['samples']}, 4N {strong_hi['samples']}, N-weak {weak_lo['samples']}
+
+Sample history is keyed by git HEAD in BENCH/scaling_samples.json (by_head);
+this run (HEAD {head}) measured strong-efficiency {strong_eff_head:.3f} from
+its own samples alone — compare with the all-time table above to spot code
+regressions that stale fast samples would otherwise mask.
 
 ## Why the proxy caps at ~0.5–0.6 on this box (controls, measured round 1)
 
@@ -208,7 +231,7 @@ while also scanning parquet and maintaining five sketches).
 | counting-bloom min-count | zero undercounts | 0 undercounts, overcount ≈ p |
 | cuckoo (corrected) | FPR ≤ 1e-3 @ ≤80 % load | ≈1e-4 (reference defective build: 0.77) |
 | KLL / t-digest | rank err ≤ 3 % / ≤ 2 % | holds on 4 distributions |
-| merge algebra | byte-identical ∀ orders | property-tested |
+| merge algebra | byte-identical ∀ orders (all kernels except Misra–Gries, which is bound-preserving only — mg.py:12) | property-tested |
 | resume | byte-identical after kill | tested |
 
 ## Round 2 update (2026-08-16)
