@@ -351,7 +351,10 @@ def q_tdbloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     t0, t1 = _ts_bounds(events)
     window = max((t1 - t0) // 3, 1)
-    spec = TdBloomSpec(200_000, 0.001, timeout=window, start_time=t0)
+    # sized for distinct user_ids (~1.5k at sf0.1), not total events — the
+    # same state-per-partial trap as the r2 cbloom carrier (a 200k spec is a
+    # 2.9M-cell uint32 array = 11.5 MB per partial for a 1.5k-key corpus)
+    spec = TdBloomSpec(20_000, 0.001, timeout=window, start_time=t0)
     kernel, _ = build_sketch(events, spec, key="user_id", ts="ts")
     recent = events.filter(_ts_at_least(t1 - window)).select("user_id").distinct()
     # broadcast-probe over the DataFrame — never collect the key list to the

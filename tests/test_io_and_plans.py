@@ -119,3 +119,87 @@ def test_recent_window_filter_is_pushed(spark):
         "PushedFilters" in l and "GreaterThanOrEqual(ts" in l
         for l in plan.splitlines()
     ), plan[:900]
+
+
+class _RecordingWriter:
+    """Stand-in for DataFrameWriterV2 so the Iceberg write branch
+    (io.py write()/read()/read_days 'use_iceberg' paths) executes without a
+    runtime jar; records the partition transforms it was given."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def partitionedBy(self, *cols):
+        self.log.append(("partitionedBy", [str(c) for c in cols]))
+        return self
+
+    def createOrReplace(self):
+        self.log.append(("createOrReplace",))
+
+
+def test_iceberg_write_branch_mocked(spark, monkeypatch):
+    """Execute io.py's writeTo().partitionedBy(bucket, days) branch with the
+    catalog sink mocked (no jar in this sandbox): the branch must request
+    EXACTLY hidden partitioning bucket(n, conv_id) + days(ts) and finish
+    with createOrReplace.  The real-jar path is covered by
+    test_iceberg_real_roundtrip when a runtime is present."""
+    import sketchlib.io as io_mod
+
+    monkeypatch.setattr(io_mod, "iceberg_available", lambda s: True)
+    log = []
+
+    class FakeDF:
+        def writeTo(self, name):
+            log.append(("writeTo", name))
+            return _RecordingWriter(log)
+
+    t = TranscriptsTable(spark, "catalog:db.transcripts", n_buckets=16)
+    assert t.use_iceberg
+    t.write(FakeDF())
+    assert log[0] == ("writeTo", "db.transcripts")
+    kinds = dict(c for c in log if c[0] == "partitionedBy")
+    parts = kinds["partitionedBy"]
+    assert any("bucket(16, conv_id)" in p for p in parts), parts
+    assert any("days(ts)" in p for p in parts), parts
+    assert ("createOrReplace",) in log
+
+
+def test_iceberg_read_days_branch_mocked(spark, monkeypatch, table):
+    """The Iceberg read_days branch must emit a plain ts-vs-literal range
+    (pushable to the source so hidden days(ts) partitioning prunes
+    manifests) — never a to_date(ts) wrapper."""
+    import types
+
+    import sketchlib.io as io_mod
+
+    monkeypatch.setattr(io_mod, "iceberg_available", lambda s: True)
+    base = table.read().drop("bucket", "day")
+
+    fake_reader = types.SimpleNamespace(table=lambda name: base)
+    fake_spark = types.SimpleNamespace(read=fake_reader)
+    t = TranscriptsTable(fake_spark, "catalog:db.transcripts")
+    out = t.read_days("2025-06-02", "2025-06-03")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ts" in plan and "to_date" not in plan.lower().replace("todate", "to_date")
+    # equivalent rows to the parquet-path day filter
+    expect = table.read_days("2025-06-02", "2025-06-03").count()
+    assert out.count() == expect
+
+
+def test_iceberg_real_roundtrip(spark, table):
+    """Executed only with a real Iceberg runtime on the classpath.  Recipe:
+
+        pyspark --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \
+          --conf spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog \
+          --conf spark.sql.catalog.local.type=hadoop \
+          --conf spark.sql.catalog.local.warehouse=/tmp/iceberg-wh
+
+    then TranscriptsTable(spark, "catalog:local.db.transcripts").write(df)
+    round-trips through hidden bucket/days partitioning."""
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar on the classpath")
+    df = table.read().drop("bucket", "day")
+    t = TranscriptsTable(spark, "catalog:local.db.transcripts_test")
+    t.write(df)
+    back = t.read()
+    assert back.count() == df.count()
