@@ -111,6 +111,24 @@ def count_asof_udf(spark: SparkSession, kernel, as_of: int):
     return _count
 
 
+def method_udf(spark: SparkSession, kernel, method: str, ret: str, extra: tuple = ()):
+    """Generic kernel-method probe column:
+    ``getattr(kernel, method)(data, offsets, *extra)`` per Arrow batch —
+    covers the long tail of per-key ops (``last_access_time``,
+    ``was_active_within``, ``has_expired``, ``count``...) without one
+    bespoke UDF each."""
+    bc = _broadcast_kernel(spark, kernel)
+    extra = tuple(extra)
+
+    @F.pandas_udf(ret)
+    def _f(s: pd.Series) -> pd.Series:
+        k = _resolve(bc)
+        data, off = _series_buffers(s)
+        return pd.Series(getattr(k, method)(data, off, *extra))
+
+    return _f
+
+
 def probe_column(spark: SparkSession, kernel, col: Column | str, as_of: int | None = None) -> Column:
     """Dispatch to the right probe UDF for the kernel kind."""
     c = F.col(col) if isinstance(col, str) else col

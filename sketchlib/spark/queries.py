@@ -394,6 +394,178 @@ def q_tdcbloom_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdbloom_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tdbloom lifecycle-op family through the gate (previously
+    pytest-only): last_access_time / was_active_within probed DISTRIBUTED
+    over every user, plus the filter-wide maintenance ops
+    (clear_expired, get_average_lifetime, adjust_timeout, lookup_or_add,
+    reset_if_expired, age_element) checked on copies via their guaranteed
+    invariants.  Exact carrier: distinct/recent user counts.
+
+    Invariants used (all one-sided guarantees, deterministic):
+    - last_access est = min over k cells ≥ the user's true last stamp and
+      ≤ max(ts) (collisions only raise a cell — kernels/tdbloom.py:107).
+    - truly-recent user ⇒ was_active_within(window) (no false negatives).
+    - after clear_expired(T): count_expired(T) == 0; likewise after
+      adjust_timeout (reaps under the NEW policy, src/tdcbloom.c:303-320).
+    - average lifetime of live cells ∈ [0, timeout].
+    - lookup_or_add of an absent key: returns False, then present as-of T.
+    - all-expired key: has_expired true; reset_if_expired re-stamps it.
+    - age_element returns True for a fully-present key."""
+    import copy
+
+    events = _read(spark, sf_dir, "events")
+    t0, t1 = _ts_bounds(events)
+    window = max((t1 - t0) // 3, 1)
+    spec = TdBloomSpec(20_000, 0.001, timeout=window, start_time=t0)
+    kernel, _ = build_sketch(events, spec, key="user_id", ts="ts")
+
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("last_seen")
+    )
+    est = probe.method_udf(spark, kernel, "last_access_time", "long")(
+        F.col("user_id").cast("string")
+    )
+    act = probe.method_udf(
+        spark, kernel, "was_active_within", "boolean", extra=(t1 - window, t1)
+    )(F.col("user_id").cast("string"))
+    checked = per_user.select(
+        "user_id",
+        "last_seen",
+        ((est >= F.col("last_seen")) & (est <= F.lit(t1))).alias("__bounds"),
+        ((F.col("last_seen") < F.lit(t1 - window)) | act).alias("__active"),
+    )
+    agg = checked.agg(
+        F.count("*").alias("n_users"),
+        F.sum((F.col("last_seen") >= F.lit(t1 - window)).cast("long")).alias(
+            "n_recent"
+        ),
+        F.bool_and("__bounds").alias("last_access_bounds_ok"),
+        F.bool_and("__active").alias("recent_implies_active"),
+    ).first()
+
+    probe_key = str(per_user.select("user_id").first()[0])
+    k2 = copy.deepcopy(kernel)
+    k2.clear_expired(t1)
+    clear_ok = k2.count_expired(t1) == 0
+    avg = kernel.get_average_lifetime(t1)
+    avg_ok = 0.0 <= avg <= window
+    k3 = copy.deepcopy(kernel)
+    k3.adjust_timeout(max(window // 2, 1), as_of=t1)
+    adjust_ok = k3.count_expired(t1) == 0
+    k4 = copy.deepcopy(kernel)
+    was = bool(k4.lookup_or_add_strings(["__never_seen__"], as_of=t1)[0])
+    loa_ok = (not was) and bool(k4.contains_strings(["__never_seen__"], as_of=t1)[0])
+    from sketchlib import mmh3
+
+    k5 = copy.deepcopy(kernel)
+    far = t1 + 2 * window + 1  # everything stale as-of here
+    exp_ok = bool(k5.has_expired(*mmh3.pack_strings([probe_key]), as_of=far)[0])
+    reset_ok = bool(k5.reset_if_expired_strings([probe_key], as_of=far)[0]) and bool(
+        k5.contains_strings([probe_key], as_of=far)[0]
+    )
+    k6 = copy.deepcopy(kernel)
+    age_ok = bool(k6.age_element_strings([probe_key], age_amount=1)[0])
+    return spark.createDataFrame(
+        [
+            Row(
+                n_users=int(agg["n_users"]),
+                n_recent=int(agg["n_recent"]),
+                last_access_bounds_ok=bool(agg["last_access_bounds_ok"]),
+                recent_implies_active=bool(agg["recent_implies_active"]),
+                clear_expired_empties=bool(clear_ok),
+                avg_lifetime_in_window=bool(avg_ok),
+                adjust_timeout_reaps=bool(adjust_ok),
+                lookup_or_add_stamps=bool(loa_ok),
+                expired_then_reset=bool(exp_ok and reset_ok),
+                age_element_present=bool(age_ok),
+            )
+        ]
+    )
+
+
+def q_cbloom_maintenance_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting-bloom maintenance family through the gate (previously
+    pytest-only): remove / decay_linear / decay_exponential /
+    clear_if_count_above / count_elements_above_threshold /
+    get_average_count / lookup_or_add, each checked by its guaranteed
+    invariant against the exact per-key counts.
+
+    Invariants (deterministic, collision-one-sided):
+    - avg nonzero-cell count == N·k / saturation_count EXACTLY (every add
+      increments exactly k cells; no saturation at 32-bit;
+      get_average_count averages nonzero cells, src/cbloom.c:337-354).
+    - a key with exact count > T has all k cells > T ⇒
+      count_elements_above_threshold(T) (= cells-above // k,
+      src/cbloom.c:310-321) ≥ the number of exact keys above T.
+    - after one remove: exact−1 ≤ count(key) ≤ count_before.
+    - after decay_linear(d): count(key) ≥ exact−d; after
+      decay_exponential(0.5): count(key) ≥ ⌊exact/2⌋ (trunc is monotone).
+    - clear_if_count_above(key, exact−1) zeroes every cell of that key.
+    - lookup_or_add of an absent key: False, then count ≥ 1."""
+    import copy
+
+    li = _read(spark, sf_dir, "lineitem")
+    spec = CBloomSpec(10_000, 0.001, counter_bits=32)
+    kernel, _ = build_sketch(li, spec, key="l_returnflag")
+    exact_rows = li.groupBy("l_returnflag").count().collect()  # 3 keys
+    exact = {str(r[0]): int(r[1]) for r in exact_rows}
+    flags = sorted(exact)
+    counts0 = dict(zip(flags, kernel.count_strings(flags).tolist()))
+    n_rows = sum(exact.values())
+
+    avg_ok = (
+        abs(kernel.get_average_count() - n_rows * spec.k / kernel.saturation_count())
+        < 1e-9
+    )
+    t_mid = sorted(exact.values())[len(exact) // 2] - 1  # at least one key above
+    n_above = sum(1 for c in exact.values() if c > t_mid)
+    thresh_ok = kernel.count_elements_above_threshold(t_mid) >= n_above
+
+    f0 = flags[0]
+    k2 = copy.deepcopy(kernel)
+    k2.remove_strings([f0])
+    c_after = int(k2.count_strings([f0])[0])
+    remove_ok = exact[f0] - 1 <= c_after <= counts0[f0]
+
+    d = max(min(exact.values()) // 2, 1)
+    k3 = copy.deepcopy(kernel)
+    k3.decay_linear(d)
+    lin_ok = all(
+        int(c) >= exact[f] - d for f, c in zip(flags, k3.count_strings(flags))
+    )
+    k4 = copy.deepcopy(kernel)
+    k4.decay_exponential(0.5)
+    exp_ok = all(
+        int(c) >= exact[f] // 2 for f, c in zip(flags, k4.count_strings(flags))
+    )
+
+    fmax = max(exact, key=exact.get)
+    k5 = copy.deepcopy(kernel)
+    k5.clear_if_count_above_strings([fmax], exact[fmax] - 1)
+    clear_ok = int(k5.count_strings([fmax])[0]) == 0
+
+    k6 = copy.deepcopy(kernel)
+    was = bool(k6.lookup_or_add_strings(["__absent__"])[0])
+    loa_ok = (not was) and int(k6.count_strings(["__absent__"])[0]) >= 1
+
+    return spark.createDataFrame(
+        [
+            Row(
+                n_rows=int(n_rows),
+                n_flags=len(flags),
+                avg_count_exact=bool(avg_ok),
+                threshold_count_ge_k=bool(thresh_ok),
+                remove_one_sided=bool(remove_ok),
+                decay_linear_bounded=bool(lin_ok),
+                decay_exponential_bounded=bool(exp_ok),
+                clear_above_zeroes=bool(clear_ok),
+                lookup_or_add_inserts=bool(loa_ok),
+            )
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # quantiles (KLL / t-digest)
 # ---------------------------------------------------------------------------
@@ -616,6 +788,20 @@ def q_gaussiannb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         abs(float(model.mahalanobis(np.array([model.mean[i]]), i)[0])) < 1e-9
         for i in range(len(model.labels))
     )
+    # gaussiannb_update analog (Chan parallel merge, ml/gaussiannb.py:150):
+    # fitting two disjoint halves and merging must equal the single fit
+    from sketchlib.ml.gaussiannb import merge_models
+
+    half = F.pmod(F.xxhash64(F.col("user_id")), F.lit(2))
+    m_a = fit_gaussian_nb(events.filter(half == 0), "event_type", ["value", "hour"])
+    m_b = fit_gaussian_nb(events.filter(half == 1), "event_type", ["value", "hour"])
+    merged = merge_models(m_a, m_b)
+    merge_ok = (
+        merged.labels == model.labels
+        and np.allclose(merged.count, model.count)
+        and np.allclose(merged.mean, model.mean, atol=1e-9)
+        and np.allclose(merged.var, model.var, atol=1e-9)
+    )
     rows = [
         Row(
             event_type=str(lbl),
@@ -623,12 +809,13 @@ def q_gaussiannb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             mean_value=float(round(model.mean[i][0], 4)),
             pred_acc_above_half_chance=acc_ok,
             mahalanobis_self_zero=bool(maha_ok),
+            parallel_merge_equals_single=bool(merge_ok),
         )
         for i, lbl in enumerate(model.labels)
     ]
     return spark.createDataFrame(rows).select(
         "event_type", "n", "mean_value", "pred_acc_above_half_chance",
-        "mahalanobis_self_zero",
+        "mahalanobis_self_zero", "parallel_merge_equals_single",
     )
 
 
@@ -1060,6 +1247,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cbloom_point_counts": q_cbloom_point_counts,
     "tdbloom_recent_users": q_tdbloom_recent_users,
     "tdcbloom_windowed_counts": q_tdcbloom_windowed_counts,
+    "tdbloom_lifecycle": q_tdbloom_lifecycle,
+    "cbloom_maintenance_ops": q_cbloom_maintenance_ops,
     "kll_quantiles": q_kll_quantiles,
     "tdigest_quantiles": q_tdigest_quantiles,
     "bloom_set_algebra": q_bloom_set_algebra,
@@ -1202,6 +1391,38 @@ ORACLES: dict[str, str] = {
         WHERE epoch(ts)::BIGINT >= t1 - GREATEST((t1 - t0) // 3, 1)
         GROUP BY user_id
     """,
+    "tdbloom_lifecycle": """
+        WITH bounds AS (
+            SELECT epoch(MIN(ts))::BIGINT AS t0, epoch(MAX(ts))::BIGINT AS t1 FROM events
+        ),
+        pu AS (
+            SELECT user_id, MAX(epoch(ts)::BIGINT) AS last_seen FROM events GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN last_seen >= t1 - GREATEST((t1 - t0) // 3, 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+               TRUE AS last_access_bounds_ok,
+               TRUE AS recent_implies_active,
+               TRUE AS clear_expired_empties,
+               TRUE AS avg_lifetime_in_window,
+               TRUE AS adjust_timeout_reaps,
+               TRUE AS lookup_or_add_stamps,
+               TRUE AS expired_then_reset,
+               TRUE AS age_element_present
+        FROM pu, bounds
+    """,
+    "cbloom_maintenance_ops": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               COUNT(DISTINCT l_returnflag) AS n_flags,
+               TRUE AS avg_count_exact,
+               TRUE AS threshold_count_ge_k,
+               TRUE AS remove_one_sided,
+               TRUE AS decay_linear_bounded,
+               TRUE AS decay_exponential_bounded,
+               TRUE AS clear_above_zeroes,
+               TRUE AS lookup_or_add_inserts
+        FROM lineitem
+    """,
     "kll_quantiles": """
         SELECT 'kll_extendedprice' AS sketch, q, TRUE AS rank_err_within_bound
         FROM (SELECT UNNEST(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[])) AS q)
@@ -1246,7 +1467,8 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n,
                ROUND(AVG(value), 4) AS mean_value,
                TRUE AS pred_acc_above_half_chance,
-               TRUE AS mahalanobis_self_zero
+               TRUE AS mahalanobis_self_zero,
+               TRUE AS parallel_merge_equals_single
         FROM events GROUP BY event_type
     """,
     "events_by_type_day": """
