@@ -24,6 +24,7 @@ from sketchlib.kernels.kll import KllSketch
 from sketchlib.kernels.tdigest import TDigest
 from sketchlib.kernels.mg import MisraGries
 from sketchlib.kernels.bottomk import BottomK
+from sketchlib.kernels.sbf import SpectralBloomFilter
 
 KERNEL_BY_KIND = {
     "bloom": BloomFilter,
@@ -37,6 +38,7 @@ KERNEL_BY_KIND = {
     "tdigest": TDigest,
     "mg": MisraGries,
     "bottomk": BottomK,
+    "sbf": SpectralBloomFilter,
 }
 
 __all__ = [
@@ -51,5 +53,6 @@ __all__ = [
     "TDigest",
     "MisraGries",
     "BottomK",
+    "SpectralBloomFilter",
     "KERNEL_BY_KIND",
 ]

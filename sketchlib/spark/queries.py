@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from sketchlib.spark import probe
-from sketchlib.spark.agg import build_sketch
+from sketchlib.spark.agg import SketchJob, build_many, build_sketch
 from sketchlib.specs import (
     BloomSpec,
     CBloomSpec,
@@ -28,6 +28,7 @@ from sketchlib.specs import (
     CuckooSpec,
     HllSpec,
     KllSpec,
+    SbfSpec,
     TdBloomSpec,
     TdCBloomSpec,
     TDigestSpec,
@@ -337,6 +338,48 @@ def q_cbloom_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [
         Row(l_returnflag=k, cnt=int(r["cnt"]), never_undercounts=bool(e >= r["cnt"]))
         for k, r, e in zip(keys, rows, est)
+    ]
+    return spark.createDataFrame(out)
+
+
+def q_sbf_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral Bloom filter point counts per event type — the reference's
+    declared-only roadmap structure (README.md:93-104), per Cohen–Matias
+    SIGMOD'03 (kernels/sbf.py).  Built in ONE pass alongside a plain
+    counting bloom of identical geometry/seed to certify, per key: the MS
+    estimate never undercounts, the MI update is never looser than the basic
+    counting-bloom update (conservative-update dominance, preserved cell-wise
+    by the saturating-add merge), and the recurring-minimum refinement only
+    ever shaves the MS estimate."""
+    events = _read(spark, sf_dir, "events")
+    # expected sizes the counter array for DISTINCT keys (a handful of event
+    # types), not total adds — the r2 state-per-partial lesson; 32-bit
+    # counters because per-type counts pass 65k at sf>=0.1 and saturation
+    # would break never-undercounts.
+    sbf_spec = SbfSpec(10_000, 0.001, counter_bits=32)
+    cbf_spec = CBloomSpec(10_000, 0.001, counter_bits=32)
+    res = build_many(
+        events,
+        [
+            SketchJob("sbf", sbf_spec, key="event_type"),
+            SketchJob("cbf", cbf_spec, key="event_type"),
+        ],
+    )
+    sbf, cbf = res["sbf"][0], res["cbf"][0]
+    rows = events.groupBy("event_type").count().collect()  # ≤10 exact groups
+    keys = [str(r["event_type"]) for r in rows]
+    ms = sbf.estimate_strings(keys)
+    rm = sbf.estimate_rm_strings(keys)
+    cb = cbf.count_strings(keys)
+    out = [
+        Row(
+            event_type=k,
+            cnt=int(r["count"]),
+            never_undercounts=bool(e >= r["count"]),
+            mi_not_looser=bool(e <= c),
+            rm_not_looser=bool(g <= e),
+        )
+        for k, r, e, g, c in zip(keys, rows, ms, rm, cb)
     ]
     return spark.createDataFrame(out)
 
@@ -1245,6 +1288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "mg_heavy_hitters": q_mg_heavy_hitters,
     "cbloom_point_counts": q_cbloom_point_counts,
+    "sbf_frequency": q_sbf_frequency,
     "tdbloom_recent_users": q_tdbloom_recent_users,
     "tdcbloom_windowed_counts": q_tdcbloom_windowed_counts,
     "tdbloom_lifecycle": q_tdbloom_lifecycle,
@@ -1371,6 +1415,14 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS cnt,
                TRUE AS never_undercounts
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "sbf_frequency": """
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               TRUE AS never_undercounts,
+               TRUE AS mi_not_looser,
+               TRUE AS rm_not_looser
+        FROM events GROUP BY event_type
     """,
     "tdbloom_recent_users": """
         WITH bounds AS (

@@ -314,6 +314,56 @@ class MGSpec(BaseSpec):
     k: int = 256
 
 
+@dataclass(frozen=True)
+class SbfSpec(BaseSpec):
+    """Spectral Bloom filter (Cohen & Matias SIGMOD'03) — the reference's
+    declared-only roadmap structure (README.md:93-104).  Counting-bloom
+    geometry (same ideal_size / rounded hashcount as CBloomSpec, since the C
+    library never fixed formulas for it) plus a smaller secondary array for
+    recurring-minimum collision management, sized ``expected // rm_fraction``
+    with the same accuracy.  counter_bits ∈ {8,16,32,64} (no 4-bit nibble
+    packing: there is no C file format to stay parity with)."""
+
+    expected: int
+    accuracy: float
+    counter_bits: int = 16
+    rm_fraction: int = 4
+
+    def __post_init__(self):
+        if self.counter_bits not in (8, 16, 32, 64):
+            raise ValueError("sbf counter_bits must be 8/16/32/64")
+        if self.rm_fraction < 1:
+            raise ValueError("rm_fraction must be >= 1")
+
+    @property
+    def m(self) -> int:
+        return ideal_size(self.expected, self.accuracy)
+
+    @property
+    def k(self) -> int:
+        return cbloom_hashcount(self.m, self.expected)
+
+    @property
+    def rm_expected(self) -> int:
+        return max(64, self.expected // self.rm_fraction)
+
+    @property
+    def rm_m(self) -> int:
+        return ideal_size(self.rm_expected, self.accuracy)
+
+    @property
+    def rm_k(self) -> int:
+        return cbloom_hashcount(self.rm_m, self.rm_expected)
+
+    @property
+    def cap(self) -> int:
+        return counter_dtype(self.counter_bits)[1]
+
+    @property
+    def dtype(self) -> np.dtype:
+        return counter_dtype(self.counter_bits)[0]
+
+
 _CLASS_BY_KIND: dict[str, type] = {
     "bloom": BloomSpec,
     "cbloom": CBloomSpec,
@@ -326,5 +376,6 @@ _CLASS_BY_KIND: dict[str, type] = {
     "tdigest": TDigestSpec,
     "mg": MGSpec,
     "bottomk": BottomKSpec,
+    "sbf": SbfSpec,
 }
 _KIND_BY_CLASS = {v: k for k, v in _CLASS_BY_KIND.items()}
