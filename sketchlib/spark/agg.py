@@ -91,12 +91,19 @@ def _target_partials(df: DataFrame, state_bytes: int, parallelism: int | None) -
     More partials = more scan parallelism but also more state to serialize,
     compress, transfer, and fold — per-task overhead ∝ state_bytes.  When the
     input is small relative to the sketch state (bench scale: ~150 MB scan vs
-    ~12 MB/task of state), full fan-out LOSES: measured 6.4s at 32 partials
-    vs 1.8s at 8 for the same 3M-row build.  At 100 TB the same rule yields
-    full parallelism (input_bytes/(8*state_bytes) ≫ cores).  Rule: each
-    partial task should scan at least 8x its own state size; floor 8 (or the
-    session parallelism if smaller), cap at session parallelism and the
-    input's own split count.  An explicit ``parallelism`` overrides."""
+    ~10 MB/task of state), full fan-out LOSES: the 5-sketch 3M-row build
+    measured 2.06s at 8 partials, 3.2s at 16, 17.9s at 32 on an IDLE box
+    (r3).  Profiling shows serde is NOT the cost (serialize+zlib ≈ 25 ms and
+    the threaded driver fold ≈ 0.3 s for all 32 blobs); the blowup is memory
+    contention — 32 concurrent ~10 MB scatter/update working sets thrash the
+    shared LLC where 8 fit (the same shared-DRAM ceiling the BENCH/BASELINE
+    controls isolate).  At 100 TB the same rule yields full parallelism
+    (input_bytes/(8*state_bytes) ≫ cores), and real executors run 4-8 cores
+    each, so per-node contention matches the 8-partial regime, not the
+    32-partial one.  Rule: each partial task should scan at least 8x its own
+    state size; floor 8 (or the session parallelism if smaller), cap at
+    session parallelism and the input's own split count.  An explicit
+    ``parallelism`` overrides."""
     par = df.sparkSession.sparkContext.defaultParallelism
     nparts = df.rdd.getNumPartitions()
     cap = min(par, nparts)
@@ -259,11 +266,15 @@ def build_many(
             _register(job.values, "values", ji)
 
     specs_json = [j.spec.to_json() for j in jobs]
-    proj = _coalesce_to_parallelism(
-        df.select(*cols),
+    proj = df.select(*cols)
+    # resolve the partial count once — it also plans the tree-combine levels
+    target = _target_partials(
+        proj,
         0 if parallelism is not None else _fresh_state_bytes(specs_json),
         parallelism,
     )
+    if proj.rdd.getNumPartitions() > target:
+        proj = proj.coalesce(target)
     roles = [aliases[i] for i in range(len(jobs))]
 
     out_fields = ", ".join(f"state_{i} binary" for i in range(len(jobs))) + ", rows bigint"
@@ -306,6 +317,14 @@ def build_many(
         )
 
     partials = proj.mapInArrow(build, out_fields)
+    # Spark-side combine level(s) while too many partials for the driver —
+    # same fan-in plan as build_sketch, applied to all N states per row, so
+    # a 10k-partial cluster build lands ≤ fanin blobs on the driver.
+    nparts = target
+    while nparts > fanin:
+        n_buckets = -(-nparts // fanin)
+        partials = _tree_merge_many(partials, specs_json, n_buckets)
+        nparts = n_buckets
     # toArrow(), NOT collect(): binary sketch states are MBs each and py4j
     # row collection moves them at single-digit MB/s; Arrow moves them at
     # memory-bandwidth speed.
@@ -343,6 +362,47 @@ def _merge_blobs(spec_json: str, blobs: list[bytes]):
             tail = [kernels[-1]] if len(kernels) % 2 else []
             kernels = list(pool.map(lambda ab: ab[0].merge(ab[1]), pairs)) + tail
     return kernels[0]
+
+
+def _tree_merge_many(
+    partials: DataFrame, specs_json: list[str], n_buckets: int
+) -> DataFrame:
+    """One Spark-side combine level for build_many's multi-state partial rows
+    (``state_0..state_{n-1}, rows``) — the N-sketch analog of
+    :func:`tree_merge`, same spark_partition_id bucketing rationale."""
+    n = len(specs_json)
+    out_fields = ", ".join(f"state_{i} binary" for i in range(n)) + ", rows bigint"
+    bucketed = partials.withColumn(
+        "__b", (F.spark_partition_id() % n_buckets).cast("long")
+    ).repartition(n_buckets, "__b")
+
+    def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        blobs: list[list[bytes]] = [[] for _ in range(n)]
+        rows = 0
+        for batch in batches:
+            cols = [batch.column(f"state_{i}") for i in range(n)]
+            rs = batch.column("rows")
+            for r in range(batch.num_rows):
+                for i in range(n):
+                    blobs[i].append(cols[i][r].as_py())
+                rows += rs[r].as_py()
+        if not any(blobs):
+            return
+        arrays = [
+            pa.array(
+                [_pack_state(_merge_blobs(specs_json[i], blobs[i]).serialize())],
+                type=pa.binary(),
+            )
+            for i in range(n)
+        ]
+        arrays.append(pa.array([rows], type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(
+            arrays, names=[f"state_{i}" for i in range(n)] + ["rows"]
+        )
+
+    return bucketed.select(
+        *[f"state_{i}" for i in range(n)], "rows"
+    ).mapInArrow(combine, out_fields)
 
 
 def tree_merge(partials: DataFrame, spec: BaseSpec, n_buckets: int) -> DataFrame:

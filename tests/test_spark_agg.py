@@ -212,6 +212,29 @@ def test_build_sketch_tree_levels_end_to_end(spark, events):
     assert k_tree.serialize() == k_flat.serialize()
 
 
+def test_build_many_tree_levels_end_to_end(spark, events):
+    """build_many with fanin < partial count runs the multi-state Spark-side
+    combine (_tree_merge_many); every sketch byte-identical to the flat
+    (driver-fold) build and to build_sketch."""
+    from sketchlib.spark.agg import SketchJob, build_many
+    from sketchlib.specs import CmsSpec, HllSpec
+
+    jobs = [
+        SketchJob("b", BloomSpec(20_000, 0.01), key="user_id"),
+        SketchJob("h", HllSpec(p=12), key="user_id"),
+        SketchJob("c", CmsSpec(epsilon=0.01, delta=0.01), key="event_type"),
+    ]
+    tree = build_many(events.repartition(16), jobs, parallelism=16, fanin=4)
+    flat = build_many(events.repartition(16), jobs, parallelism=16)
+    single, n_single = build_sketch(events, BloomSpec(20_000, 0.01), key="user_id")
+    n = events.count()
+    for name in ("b", "h", "c"):
+        assert tree[name][1] == flat[name][1] == n
+        assert tree[name][0].serialize() == flat[name][0].serialize()
+    assert tree["b"][0].serialize() == single.serialize()
+    assert n_single == n
+
+
 def test_target_partials_heuristic(spark, events, tmp_path):
     """State-size-aware sizing: big state + small input -> floor(8);
     explicit parallelism wins; in-memory input falls back to the cap."""
