@@ -134,7 +134,7 @@ def probe_column(spark: SparkSession, kernel, col: Column | str, as_of: int | No
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("string")
     kind = kernel.spec.kind
-    if kind in ("bloom", "cbloom", "cuckoo"):
+    if kind in ("bloom", "cbloom", "cuckoo", "sbf"):
         return contains_udf(spark, kernel)(c)
     if kind in ("tdbloom", "tdcbloom"):
         if as_of is None:

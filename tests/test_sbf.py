@@ -148,14 +148,15 @@ def test_rm_tightens_on_colliding_load():
     assert (ms >= tv).all()
 
 
-def test_distributed_build_never_undercounts():
-    from sketchlib.spark import build_sketch, get_spark
+def test_distributed_build_probe_and_store_roundtrip(tmp_path):
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark import build_sketch, get_spark, probe
 
     spark = get_spark("sbf-tests", cpus=4, shuffle_partitions=4)
     events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-    kernel, _ = build_sketch(
-        events, SbfSpec(1_000, 0.001, counter_bits=32), key="event_type"
-    )
+    spec = SbfSpec(1_000, 0.001, counter_bits=32)
+    kernel, _ = build_sketch(events, spec, key="event_type")
     exact = {
         r["event_type"]: r["count"]
         for r in events.groupBy("event_type").count().collect()
@@ -163,3 +164,24 @@ def test_distributed_build_never_undercounts():
     est = kernel.estimate_strings(list(exact))
     for key, e in zip(exact, est):
         assert e >= exact[key]
+    # broadcast probe UDFs work for the sbf kind (membership + count)
+    probed = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            probe.probe_column(spark, kernel, "event_type").alias("hit"),
+            probe.count_udf(spark, kernel)(F.col("event_type")).alias("est"),
+        )
+        .collect()
+    )
+    for r in probed:
+        assert r["hit"] and r["est"] >= exact[r["event_type"]]
+    # checkpoint store round-trip preserves both arrays
+    from sketchlib.store import SketchStore
+
+    store = SketchStore(str(tmp_path / "store"))
+    store.save_kernel("sbf_types", kernel)
+    back, _metrics = store.load_kernel("sbf_types")
+    assert back.serialize() == kernel.serialize()
+    assert back.spec == spec
