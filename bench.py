@@ -68,22 +68,32 @@ def bench_transcripts(spark) -> dict:
     n = tr.count()  # warms the page cache so build time ≈ compute time
     t0_epoch = int(tr.select(F.min(F.unix_timestamp("ts"))).first()[0])
 
-    jobs = [
-        SketchJob("hll_conv", HllSpec(p=14), key="conv_id"),
-        SketchJob(
-            "hll_conv_tool",
-            HllSpec(p=14),
-            key=F.concat_ws("\x00", F.col("conv_id"), F.col("tool")),
-        ),
-        SketchJob("bloom_text", BloomSpec(max(n, 1000), 0.01), key="text"),
-        SketchJob("cms_tool", CmsSpec(epsilon=0.0005, delta=0.01), key="tool"),
-        SketchJob(
-            "td_conv",
-            TdBloomSpec(100_000, 0.001, timeout=7 * 86400, start_time=t0_epoch),
-            key="conv_id",
-            ts="ts",
-        ),
-    ]
+    def suite_jobs(prehash: bool) -> list[SketchJob]:
+        return [
+            SketchJob("hll_conv", HllSpec(p=14), key="conv_id", prehash=prehash),
+            SketchJob(
+                "hll_conv_tool",
+                HllSpec(p=14),
+                key=F.concat_ws("\x00", F.col("conv_id"), F.col("tool")),
+                prehash=prehash,
+            ),
+            SketchJob("bloom_text", BloomSpec(max(n, 1000), 0.01), key="text", prehash=prehash),
+            SketchJob("cms_tool", CmsSpec(epsilon=0.0005, delta=0.01), key="tool", prehash=prehash),
+            SketchJob(
+                "td_conv",
+                TdBloomSpec(100_000, 0.001, timeout=7 * 86400, start_time=t0_epoch),
+                key="conv_id",
+                ts="ts",
+                prehash=prehash,
+            ),
+        ]
+
+    # FLAGSHIP: the prehash build (xxhash64 pairs in whole-stage codegen,
+    # only int64 columns cross to Python — the recommended mode at cluster
+    # scale, ~2x the mmh3 path at this size).  The mmh3-parity build (bit-
+    # compatible with archbloom native files) is measured alongside.
+    jobs = suite_jobs(prehash=True)
+    jobs_mmh3 = suite_jobs(prehash=False)
     results = build_many(tr, jobs)  # warm (JIT, workers, footers)
 
     # Headline: the engine's own configuration at the driver's local[32]
@@ -100,14 +110,16 @@ def bench_transcripts(spark) -> dict:
     # phase has spent its share of the budget
     build_budget = 0.45 * _BUDGET_SEC
     t0_phase = time.perf_counter()
-    t_auto, t_n, t_4n = [], [], []
+    t_auto, t_n, t_4n, t_mmh3 = [], [], [], []
     for i in range(reps):
         if i > 0 and time.perf_counter() - t0_phase > build_budget:
             break
         t_auto.append(_timed(lambda: build_many(tr, jobs)))
         t_n.append(_timed(lambda: build_many(tr, jobs, parallelism=2)))
         t_4n.append(_timed(lambda: build_many(tr, jobs, parallelism=8)))
+        t_mmh3.append(_timed(lambda: build_many(tr, jobs_mmh3)))
     dt_suite, dt_n, dt_4n = min(t_auto), min(t_n), min(t_4n)
+    dt_mmh3 = min(t_mmh3)
     dt_single = min(_timed(lambda: build_many(tr, jobs[:1])) for _ in range(2))
 
     hll = results["hll_conv"][0]
@@ -126,19 +138,25 @@ def bench_transcripts(spark) -> dict:
     try:
         with open(samples_f) as f:
             hist = json.load(f)
-        lo = min(hist["strong_lo"]["samples"])
-        hi = min(hist["strong_hi"]["samples"])
-        eff_headline = round((lo / hi) / 4.0, 3)
-        eff_source = (
-            f"converged min over {len(hist['strong_lo']['samples'])}+"
-            f"{len(hist['strong_hi']['samples'])} samples"
-        )
+        # history must describe the same build mode as the in-run levels
+        # (prehash) — a stale parity-mode history would mix workloads
+        if hist["strong_lo"].get("mode") == "prehash":
+            lo = min(hist["strong_lo"]["samples"])
+            hi = min(hist["strong_hi"]["samples"])
+            eff_headline = round((lo / hi) / 4.0, 3)
+            eff_source = (
+                f"converged min over {len(hist['strong_lo']['samples'])}+"
+                f"{len(hist['strong_hi']['samples'])} samples (prehash mode)"
+            )
     except (OSError, KeyError, ValueError):
         pass
     return {
         "transcripts_rows": n,
         "suite_build_sec": round(dt_suite, 3),
         "turns_per_sec_suite": round(n / dt_suite),
+        "suite_build_mode": "prehash (JVM xxhash64; mmh3-parity build alongside)",
+        "suite_build_sec_mmh3": round(dt_mmh3, 3),
+        "turns_per_sec_suite_mmh3": round(n / dt_mmh3),
         "suite_build_sec_n2": round(dt_n, 3),
         "turns_per_sec_n2": round(n / dt_n),
         "suite_build_sec_n8": round(dt_4n, 3),

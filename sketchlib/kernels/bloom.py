@@ -45,7 +45,15 @@ class BloomFilter:
     def update(self, data: np.ndarray, offsets: np.ndarray) -> None:
         """Set the k bits of every element in the batch (bloom_add,
         src/bloom.c:336-352, set-at-a-time)."""
-        pos = mmh3.positions(data, offsets, self.k, self.m, self.spec.seed)
+        self._add_at(mmh3.positions(data, offsets, self.k, self.m, self.spec.seed))
+
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Prehashed ingest (JVM xxhash64 pair, ``spark/prehash.py``): same
+        KM ladder, caller-supplied hash family — NOT bit-compatible with
+        mmh3-built states; spec.seed is ignored."""
+        self._add_at(mmh3.positions_from_hashes(h1, h2, self.k, self.m))
+
+    def _add_at(self, pos: np.ndarray) -> None:
         byte = pos >> 3
         bit = (pos & 7).astype(np.uint8)
         np.bitwise_or.at(self.bits, byte.ravel(), np.left_shift(np.uint8(1), bit.ravel()))
@@ -57,7 +65,15 @@ class BloomFilter:
     def contains(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """Vectorized membership: all k bits set (bloom_lookup,
         src/bloom.c:290-309). Returns bool array."""
-        pos = mmh3.positions(data, offsets, self.k, self.m, self.spec.seed)
+        return self._contains_at(
+            mmh3.positions(data, offsets, self.k, self.m, self.spec.seed)
+        )
+
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Prehashed membership — pair with :meth:`update_hashes` builds."""
+        return self._contains_at(mmh3.positions_from_hashes(h1, h2, self.k, self.m))
+
+    def _contains_at(self, pos: np.ndarray) -> np.ndarray:
         byte = pos >> 3
         bit = (pos & 7).astype(np.uint8)
         hit = (self.bits[byte] >> bit) & np.uint8(1)

@@ -46,7 +46,14 @@ class CountMinSketch:
         ).astype(np.int64)
 
     def update(self, data: np.ndarray, offsets: np.ndarray, amount: int = 1) -> None:
-        pos = self._positions(data, offsets)
+        self._add_pos(self._positions(data, offsets), amount)
+
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray, amount: int = 1) -> None:
+        """Prehashed ingest (``spark/prehash.py``) — same d-row KM scheme
+        over a caller-supplied 64-bit pair; spec.seed is ignored."""
+        self._add_pos(mmh3.positions_from_hashes(h1, h2, self.d, self.w), amount)
+
+    def _add_pos(self, pos: np.ndarray, amount: int = 1) -> None:
         n = pos.shape[0]
         for i in range(self.d):
             hist = np.bincount(pos[:, i], minlength=self.w)
@@ -61,7 +68,13 @@ class CountMinSketch:
     def estimate(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """Point-frequency estimates: min over the d rows. One-sided — never
         undercounts."""
-        pos = self._positions(data, offsets)
+        return self._estimate_pos(self._positions(data, offsets))
+
+    def estimate_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Prehashed point estimates — pair with :meth:`update_hashes`."""
+        return self._estimate_pos(mmh3.positions_from_hashes(h1, h2, self.d, self.w))
+
+    def _estimate_pos(self, pos: np.ndarray) -> np.ndarray:
         ests = np.empty(pos.shape, dtype=np.uint64)
         for i in range(self.d):
             ests[:, i] = self.table[i, pos[:, i]]

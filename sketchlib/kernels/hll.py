@@ -51,9 +51,11 @@ class HyperLogLog:
         h1, _ = mmh3.mmh3_x64_128(data, offsets, self.spec.seed)
         self.update_hashes(h1)
 
-    def update_hashes(self, h: np.ndarray) -> None:
+    def update_hashes(self, h: np.ndarray, h2: np.ndarray | None = None) -> None:
         """Ingest pre-computed 64-bit hashes (lets one hash pass feed several
-        sketches)."""
+        sketches).  ``h2`` is accepted for uniformity with the bloom-family
+        prehash signature and ignored — HLL consumes a single 64-bit lane."""
+        h = mmh3.as_u64(h)
         p = self.p
         idx = (h >> U64(64 - p)).astype(np.int64)
         w = h << U64(p)  # remaining bits, left-aligned

@@ -65,6 +65,15 @@ class TdBloomFilter:
         there last-writer-wins equals freshest because wall clock is
         monotone; with event time we take max explicitly)."""
         pos = mmh3.positions(data, offsets, self.k, self.m, self.spec.seed)
+        self._stamp(pos, ts_sec)
+
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray, ts_sec: np.ndarray) -> None:
+        """Prehashed ingest (``spark/prehash.py``): same stamping over a
+        caller-supplied KM pair; spec.seed is ignored and the state is not
+        bit-compatible with mmh3-built filters."""
+        self._stamp(mmh3.positions_from_hashes(h1, h2, self.k, self.m), ts_sec)
+
+    def _stamp(self, pos: np.ndarray, ts_sec: np.ndarray) -> None:
         tick = (self._rel(ts_sec) + 1).astype(np.int32)
         np.maximum.at(self.ticks, pos.ravel(), np.repeat(tick, self.k))
 
@@ -82,11 +91,23 @@ class TdBloomFilter:
         (tdbloom_lookup, src/tdbloom.c:336-364). Mirrors the whole-filter
         age guard (:342): if as_of - start_time > max_time, everything is
         reported absent."""
-        n = len(offsets) - 1
+        return self._contains_cells(
+            len(offsets) - 1, lambda: self._cells(data, offsets), as_of
+        )
+
+    def contains_hashes(self, h1, h2, as_of: int) -> np.ndarray:
+        """Prehashed membership — pair with :meth:`update_hashes` builds."""
+        return self._contains_cells(
+            len(np.asarray(h1)),
+            lambda: self.ticks[mmh3.positions_from_hashes(h1, h2, self.k, self.m)],
+            as_of,
+        )
+
+    def _contains_cells(self, n: int, cells_fn, as_of: int) -> np.ndarray:
         T = int(as_of) - self.spec.start_time
         if T > self.spec.max_time:
             return np.zeros(n, dtype=bool)
-        cells = self._cells(data, offsets)
+        cells = cells_fn()
         age = np.int64(T) - (cells - 1)
         fresh = (cells > 0) & (age >= 0) & (age <= self.spec.timeout)
         return fresh.all(axis=1)

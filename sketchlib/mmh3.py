@@ -298,6 +298,23 @@ def make_hashes(h1: np.ndarray, h2: np.ndarray, k: int) -> np.ndarray:
     return h
 
 
+def as_u64(a: np.ndarray) -> np.ndarray:
+    """Reinterpret signed 64-bit hashes (Spark's xxhash64 returns long) as
+    uint64 without copying; other dtypes are cast."""
+    a = np.asarray(a)
+    if a.dtype == np.int64:
+        return a.view(U64)
+    return a.astype(U64, copy=False)
+
+
+def positions_from_hashes(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """``(n, k)`` int64 cell positions from a pre-computed 64-bit hash pair
+    (the JVM-prehash fast path, ``spark/prehash.py``): same
+    Kirsch–Mitzenmacher ladder as :func:`positions`, hash family supplied by
+    the caller instead of mmh3."""
+    return (make_hashes(as_u64(h1), as_u64(h2), k) % U64(m)).astype(np.int64)
+
+
 def hash_batch(data: np.ndarray, offsets: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
     """One mmh3_x64_128 pass + double hashing → ``(n, k)`` uint64 hash matrix.
 

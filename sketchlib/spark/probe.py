@@ -129,11 +129,92 @@ def method_udf(spark: SparkSession, kernel, method: str, ret: str, extra: tuple 
     return _f
 
 
-def probe_column(spark: SparkSession, kernel, col: Column | str, as_of: int | None = None) -> Column:
-    """Dispatch to the right probe UDF for the kernel kind."""
+def contains_hashes_udf(spark: SparkSession, kernel, as_of: int | None = None):
+    """Prehashed membership probe: ``udf(h1, h2) -> boolean`` over the JVM
+    xxhash64 pair (``spark/prehash.py``) — pairs with ``prehash=True``
+    builds; the raw key never crosses to Python."""
+    bc = _broadcast_kernel(spark, kernel)
+    timed = as_of is not None
+    as_of_i = int(as_of) if timed else 0
+
+    @F.pandas_udf("boolean")
+    def _contains(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        # callers coalesce nulls JVM-side: an int64-with-nulls column would
+        # arrive as float64 and corrupt hashes above 2^53
+        k = _resolve(bc)
+        a1 = h1.to_numpy(dtype="int64")
+        a2 = h2.to_numpy(dtype="int64")
+        got = (
+            k.contains_hashes(a1, a2, as_of_i)
+            if timed
+            else k.contains_hashes(a1, a2)
+        )
+        return pd.Series(got)
+
+    return _contains
+
+
+def count_hashes_column(
+    spark: SparkSession, kernel, col: Column | str, as_of: int | None = None
+) -> Column:
+    """Prehashed point-count probe (CMS ``estimate_hashes`` / counting
+    kinds' ``count_hashes``) over the JVM xxhash64 pair of ``col``; null
+    keys count 0."""
+    method = "estimate_hashes" if hasattr(kernel, "estimate_hashes") else "count_hashes"
+    if not hasattr(kernel, method):
+        raise ValueError(f"kind {kernel.spec.kind} has no prehashed count probe")
+    bc = _broadcast_kernel(spark, kernel)
+    timed = as_of is not None
+    as_of_i = int(as_of) if timed else 0
+
+    @F.pandas_udf("long")
+    def _count(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        k = _resolve(bc)
+        a1 = h1.to_numpy(dtype="int64")
+        a2 = h2.to_numpy(dtype="int64")
+        fn = getattr(k, method)
+        got = fn(a1, a2, as_of_i) if timed else fn(a1, a2)
+        return pd.Series(got.astype("int64"))
+
+    from sketchlib.spark.prehash import prehash_pair
+
     c = F.col(col) if isinstance(col, str) else col
-    c = c.cast("string")
+    h1, h2 = prehash_pair(c)
+    res = _count(F.coalesce(h1, F.lit(0)), F.coalesce(h2, F.lit(0)))
+    return F.when(c.cast("string").isNotNull(), res).otherwise(F.lit(0))
+
+
+def probe_column(
+    spark: SparkSession,
+    kernel,
+    col: Column | str,
+    as_of: int | None = None,
+    prehash: bool = False,
+) -> Column:
+    """Dispatch to the right probe UDF for the kernel kind.
+
+    ``prehash=True`` probes a sketch built with ``SketchJob(prehash=True)``:
+    the same JVM xxhash64 pair expression is applied to ``col``, so build
+    and probe cannot disagree; null keys probe False."""
+    c = F.col(col) if isinstance(col, str) else col
     kind = kernel.spec.kind
+    if prehash:
+        if not hasattr(kernel, "contains_hashes"):
+            raise ValueError(f"kind {kind} has no prehashed probe")
+        from sketchlib.spark.prehash import prehash_pair
+
+        h1, h2 = prehash_pair(c)
+        # nulls → 0 before the UDF (exact int64 transport), masked back to
+        # False after — a null key is never "present"
+        h1z, h2z = F.coalesce(h1, F.lit(0)), F.coalesce(h2, F.lit(0))
+        if kind in ("tdbloom", "tdcbloom"):
+            if as_of is None:
+                raise ValueError("time-decaying probes need as_of")
+            res = contains_hashes_udf(spark, kernel, as_of)(h1z, h2z)
+        else:
+            res = contains_hashes_udf(spark, kernel)(h1z, h2z)
+        return F.when(c.cast("string").isNotNull(), res).otherwise(F.lit(False))
+    c = c.cast("string")
     if kind in ("bloom", "cbloom", "cuckoo", "sbf"):
         return contains_udf(spark, kernel)(c)
     if kind in ("tdbloom", "tdcbloom"):

@@ -111,6 +111,33 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prehash_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-prehash fast path through the gate (spark/prehash.py): bloom
+    built AND probed from xxhash64 pairs computed in whole-stage codegen —
+    the raw key never crosses to Python on either side, the recommended
+    configuration at cluster scale.  At p=1e-6 the probe equals the exact
+    left-semi join (no false negatives; expected FP ≈ n·p ≪ 1); an HLL
+    built prehashed over the same rows must land within ±2% of the exact
+    distinct count (the published-bound invariance the mode guarantees)."""
+    events = _read(spark, sf_dir, "events")
+    members = events.filter(F.col("event_type") == "purchase")
+    kernel, _ = build_sketch(
+        members, BloomSpec(200_000, 1e-6), key="user_id", prehash=True
+    )
+    hll, _ = build_sketch(members, HllSpec(p=14), key="user_id", prehash=True)
+    true_distinct = members.select("user_id").distinct().count()
+    hll_ok = abs(hll.estimate() - true_distinct) / true_distinct <= 0.02
+    return (
+        events.withColumn(
+            "hit", probe.probe_column(spark, kernel, "user_id", prehash=True)
+        )
+        .filter("hit")
+        .select("user_id")
+        .distinct()
+        .withColumn("hll_within_2pct", F.lit(bool(hll_ok)))
+    )
+
+
 def q_bloom_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-via-JOIN for sketches too big to broadcast (the 100-TB probe
     path): the Bloom state is built as key-routed shards and probed by
@@ -1282,6 +1309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_daily_rollup": q_hll_daily_rollup,
     "bottomk_distinct_sample": q_bottomk_distinct_sample,
     "bloom_membership": q_bloom_membership,
+    "prehash_membership": q_prehash_membership,
     "bloom_probe_join": q_bloom_probe_join,
     "archbloom_file_roundtrip": q_archbloom_file_roundtrip,
     "cuckoo_membership": q_cuckoo_membership,
@@ -1367,6 +1395,11 @@ ORACLES: dict[str, str] = {
     """,
     "bloom_membership": """
         SELECT DISTINCT user_id
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    "prehash_membership": """
+        SELECT DISTINCT user_id, TRUE AS hll_within_2pct
         FROM events
         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
     """,

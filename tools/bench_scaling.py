@@ -43,14 +43,21 @@ spark = get_spark(f"scaling-{cpus}", cpus=cpus)
 tr = spark.read.parquet(path)
 n = tr.count()  # warm page cache
 T0 = 1767225600
+# flagship configuration: prehash (JVM xxhash64 pair in codegen) — the
+# same mode bench.py headlines; mode is recorded in the sample history so
+# a mode switch restarts accumulation instead of mixing workloads
 jobs = [
-    SketchJob("hll_conv", HllSpec(p=14), key="conv_id"),
+    SketchJob("hll_conv", HllSpec(p=14), key="conv_id", prehash=True),
     SketchJob("hll_conv_tool", HllSpec(p=14),
-              key=F.concat_ws("\x00", F.col("conv_id"), F.col("tool"))),
-    SketchJob("bloom_text", BloomSpec(max(n, 1000), 0.01), key="text"),
-    SketchJob("cms_tool", CmsSpec(epsilon=0.0005, delta=0.01), key="tool"),
+              key=F.concat_ws("\x00", F.col("conv_id"), F.col("tool")),
+              prehash=True),
+    SketchJob("bloom_text", BloomSpec(max(n, 1000), 0.01), key="text",
+              prehash=True),
+    SketchJob("cms_tool", CmsSpec(epsilon=0.0005, delta=0.01), key="tool",
+              prehash=True),
     SketchJob("td_conv", TdBloomSpec(100_000, 0.001, timeout=7*86400,
-                                     start_time=T0), key="conv_id", ts="ts"),
+                                     start_time=T0), key="conv_id", ts="ts",
+              prehash=True),
 ]
 build_many(tr, jobs)  # warm: JIT, python workers, parquet footers
 times = []
@@ -133,13 +140,18 @@ def main() -> None:
         ).stdout.strip()
     except Exception:  # noqa: BLE001
         head = "unknown"
+    MODE = "prehash"
     for name, res in (("strong_lo", strong_lo), ("strong_hi", strong_hi), ("weak_lo", weak_lo)):
-        h = hist.setdefault(name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"]})
-        if h.get("rows") != res["rows"] or h.get("cpus") != res["cpus"]:
-            # dataset/level geometry changed: old samples describe a
-            # different workload — start the entry over instead of merging
-            # mismatched rows/min
-            h = hist[name] = {"samples": [], "rows": res["rows"], "cpus": res["cpus"]}
+        h = hist.setdefault(name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE})
+        if (
+            h.get("rows") != res["rows"]
+            or h.get("cpus") != res["cpus"]
+            or h.get("mode") != MODE
+        ):
+            # dataset/level geometry or build mode changed: old samples
+            # describe a different workload — start the entry over instead
+            # of merging mismatched rows/min
+            h = hist[name] = {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE}
         h["samples"] += res["samples"]
         h.setdefault("by_head", {}).setdefault(head, []).extend(res["samples"])
         best = min(h["samples"])
@@ -177,7 +189,10 @@ identical runs vary 3-8x wall-clock; levels interleaved across 3 JVM rounds x 2 
 No real cluster exists here; per the task directive the two cluster sizes are
 proxied by two parallelism levels.  Workload: the north-star 5-sketch suite
 in ONE pass (build_many) — HLL(conv_id), HLL(conv_id⊕tool), Bloom(text),
-CMS(tool), TdBloom(conv_id, ts) — deterministic transcripts (seed 42).
+CMS(tool), TdBloom(conv_id, ts) — deterministic transcripts (seed 42), in
+the flagship **prehash** mode (xxhash64 pair in whole-stage codegen, int64
+columns cross to Python; sketchlib/spark/prehash.py).  The mmh3-parity mode
+(archbloom file-compatible) is benchmarked separately in bench.py.
 
 | regime | N | 4N | t_N | t_4N | turns/s N | turns/s 4N | efficiency |
 |---|---|---|---|---|---|---|---|
