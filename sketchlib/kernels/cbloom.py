@@ -86,6 +86,12 @@ class CountingBloomFilter:
         pos = self._positions(data, offsets).ravel()
         _scatter_sat_add(self.counters, pos, amount, self.cap)
 
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray, amount: int = 1) -> None:
+        """Prehashed ingest (``spark/prehash.py``): caller-supplied KM pair,
+        spec.seed ignored; not bit-compatible with mmh3-built states."""
+        pos = mmh3.positions_from_hashes(h1, h2, self.k, self.m).ravel()
+        _scatter_sat_add(self.counters, pos, amount, self.cap)
+
     def update_strings(self, keys, amount: int = 1) -> None:
         self.update(*mmh3.pack_strings(keys), amount=amount)
 
@@ -165,9 +171,21 @@ class CountingBloomFilter:
     def count_strings(self, keys) -> np.ndarray:
         return self.count(*mmh3.pack_strings(keys))
 
+    def count_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Prehashed min-of-k point estimate — pairs with
+        :meth:`update_hashes` builds."""
+        pos = mmh3.positions_from_hashes(h1, h2, self.k, self.m)
+        mins = self.counters[pos].min(axis=1)
+        return mins if mins.dtype == np.uint64 else mins.astype(np.int64)
+
     def contains(self, data, offsets) -> np.ndarray:
         """All k counters nonzero (cbloom_lookup, src/cbloom.c:372-387)."""
         pos = self._positions(data, offsets)
+        return (self.counters[pos] > 0).all(axis=1)
+
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Prehashed membership — pairs with :meth:`update_hashes` builds."""
+        pos = mmh3.positions_from_hashes(h1, h2, self.k, self.m)
         return (self.counters[pos] > 0).all(axis=1)
 
     def contains_strings(self, keys) -> np.ndarray:

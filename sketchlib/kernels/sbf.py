@@ -104,6 +104,14 @@ class SpectralBloomFilter:
         """Batched minimum-increase insert (Cohen–Matias §4.2; module
         docstring for the batch linearization argument)."""
         h1, h2 = mmh3.mmh3_x64_128(data, offsets, self.spec.seed)
+        self._update_from(h1, h2, amount)
+
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray, amount: int = 1) -> None:
+        """Prehashed ingest (``spark/prehash.py``): caller-supplied 64-bit
+        pair, spec.seed ignored; not bit-compatible with mmh3-built states."""
+        self._update_from(mmh3.as_u64(h1), mmh3.as_u64(h2), amount)
+
+    def _update_from(self, h1: np.ndarray, h2: np.ndarray, amount: int) -> None:
         if not h1.size:
             return
         uh1, uh2, counts = _group_by_hash(h1, h2)
@@ -149,8 +157,15 @@ class SpectralBloomFilter:
         mins = self.counters[self._pos(h1, h2)].min(axis=1)
         return mins if mins.dtype == U64 else mins.astype(np.int64)
 
+    def estimate_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Prehashed MS point estimate — pairs with :meth:`update_hashes`."""
+        pos = self._pos(mmh3.as_u64(h1), mmh3.as_u64(h2))
+        mins = self.counters[pos].min(axis=1)
+        return mins if mins.dtype == U64 else mins.astype(np.int64)
+
     # cbloom-compatible aliases so probe/query plumbing treats both alike
     count = estimate
+    count_hashes = estimate_hashes
 
     def estimate_strings(self, keys) -> np.ndarray:
         return self.estimate(*mmh3.pack_strings(keys))
@@ -180,6 +195,11 @@ class SpectralBloomFilter:
     def contains(self, data, offsets) -> np.ndarray:
         h1, h2 = mmh3.mmh3_x64_128(data, offsets, self.spec.seed)
         return (self.counters[self._pos(h1, h2)] > 0).all(axis=1)
+
+    def contains_hashes(self, h1, h2) -> np.ndarray:
+        """Prehashed membership — pairs with :meth:`update_hashes` builds."""
+        pos = self._pos(mmh3.as_u64(h1), mmh3.as_u64(h2))
+        return (self.counters[pos] > 0).all(axis=1)
 
     def contains_strings(self, keys) -> np.ndarray:
         return self.contains(*mmh3.pack_strings(keys))

@@ -68,6 +68,14 @@ class TdCBloomFilter:
         _scatter_sat_add(self.counters, pos, 1, self.cap)
         np.maximum.at(self.ticks, pos, tick)
 
+    def update_hashes(self, h1, h2, ts_sec) -> None:
+        """Prehashed ingest (``spark/prehash.py``): caller-supplied KM pair,
+        spec.seed ignored; not bit-compatible with mmh3-built states."""
+        pos = mmh3.positions_from_hashes(h1, h2, self.k, self.m).ravel()
+        tick = np.repeat((self._rel(ts_sec) + 1).astype(np.int32), self.k)
+        _scatter_sat_add(self.counters, pos, 1, self.cap)
+        np.maximum.at(self.ticks, pos, tick)
+
     def update_strings(self, keys, ts_sec) -> None:
         data, off = mmh3.pack_strings(keys)
         self.update(data, off, np.asarray(ts_sec, dtype=np.int64))
@@ -105,10 +113,25 @@ class TdCBloomFilter:
     def count_strings(self, keys, as_of: int) -> np.ndarray:
         return self.count(*mmh3.pack_strings(keys), as_of=as_of)
 
+    def count_hashes(self, h1, h2, as_of: int) -> np.ndarray:
+        """Prehashed windowed point estimate — pairs with
+        :meth:`update_hashes` builds."""
+        pos = mmh3.positions_from_hashes(h1, h2, self.k, self.m)
+        fresh_all = self._fresh(self.ticks[pos], as_of).all(axis=1)
+        est = self.counters[pos].min(axis=1).astype(np.int64)
+        return np.where(fresh_all, est, 0)
+
     def contains(self, data, offsets, as_of: int) -> np.ndarray:
         """All k counters nonzero and fresh (tdcbloom_lookup,
         src/tdcbloom.c:584-610)."""
         pos = self._positions(data, offsets)
+        nonzero = (self.counters[pos] > 0).all(axis=1)
+        fresh = self._fresh(self.ticks[pos], as_of).all(axis=1)
+        return nonzero & fresh
+
+    def contains_hashes(self, h1, h2, as_of: int) -> np.ndarray:
+        """Prehashed membership — pairs with :meth:`update_hashes` builds."""
+        pos = mmh3.positions_from_hashes(h1, h2, self.k, self.m)
         nonzero = (self.counters[pos] > 0).all(axis=1)
         fresh = self._fresh(self.ticks[pos], as_of).all(axis=1)
         return nonzero & fresh

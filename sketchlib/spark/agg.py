@@ -65,7 +65,8 @@ class SketchJob:
     cluster scale.  The resulting sketch is NOT bit-compatible with
     mmh3-built states or archbloom native files; probe it with
     ``probe.probe_column(..., prehash=True)``.  Supported kinds: any kernel
-    exposing ``update_hashes`` (hll, bloom, cms, tdbloom)."""
+    exposing ``update_hashes`` (hll, bloom, cms, tdbloom, cbloom, tdcbloom,
+    sbf)."""
 
     name: str
     spec: BaseSpec

@@ -85,6 +85,42 @@ def test_kernel_prehashed_cms_never_undercounts():
     assert (est - exact).max() <= cms.error_bound()
 
 
+def test_kernel_prehashed_counting_kinds():
+    """cbloom / tdcbloom / sbf prehashed ingest+probe: never undercount,
+    no false negatives, freshness window honored."""
+    from sketchlib.kernels.cbloom import CountingBloomFilter
+    from sketchlib.kernels.sbf import SpectralBloomFilter
+    from sketchlib.kernels.tdcbloom import TdCBloomFilter
+    from sketchlib.specs import CBloomSpec, SbfSpec, TdCBloomSpec
+
+    rng = np.random.default_rng(13)
+    n_keys = 300
+    reps = rng.integers(1, 20, n_keys)
+    k1 = rng.integers(0, 2**63, n_keys, dtype=np.int64)
+    k2 = rng.integers(0, 2**63, n_keys, dtype=np.int64)
+    h1, h2 = np.repeat(k1, reps), np.repeat(k2, reps)
+
+    cb = CountingBloomFilter(CBloomSpec(5_000, 0.01, counter_bits=16))
+    cb.update_hashes(h1, h2)
+    assert cb.contains_hashes(k1, k2).all()
+    assert (cb.count_hashes(k1, k2) >= reps).all()
+
+    sbf = SpectralBloomFilter(SbfSpec(5_000, 0.01, counter_bits=16))
+    sbf.update_hashes(h1, h2)
+    assert sbf.contains_hashes(k1, k2).all()
+    assert (sbf.estimate_hashes(k1, k2) >= reps).all()
+
+    t0 = 1_700_000_000
+    td = TdCBloomFilter(
+        TdCBloomSpec(5_000, 0.01, timeout=100, start_time=t0, counter_bits=16)
+    )
+    ts = np.full(h1.size, t0 + 10, dtype=np.int64)
+    td.update_hashes(h1, h2, ts)
+    assert td.contains_hashes(k1, k2, as_of=t0 + 50).all()
+    assert (td.count_hashes(k1, k2, as_of=t0 + 50) >= reps).all()
+    assert (td.count_hashes(k1, k2, as_of=t0 + 500) == 0).all()
+
+
 def test_kernel_prehashed_tdbloom_asof():
     t0 = 1_700_000_000
     td = TdBloomFilter(TdBloomSpec(1000, 0.001, timeout=100, start_time=t0))
