@@ -68,7 +68,7 @@ def bench_transcripts(spark) -> dict:
     n = tr.count()  # warms the page cache so build time ≈ compute time
     t0_epoch = int(tr.select(F.min(F.unix_timestamp("ts"))).first()[0])
 
-    def suite_jobs(prehash: bool) -> list[SketchJob]:
+    def suite_jobs(prehash: bool, rows: int = 0, t0: int = 0) -> list[SketchJob]:
         return [
             SketchJob("hll_conv", HllSpec(p=14), key="conv_id", prehash=prehash),
             SketchJob(
@@ -77,11 +77,16 @@ def bench_transcripts(spark) -> dict:
                 key=F.concat_ws("\x00", F.col("conv_id"), F.col("tool")),
                 prehash=prehash,
             ),
-            SketchJob("bloom_text", BloomSpec(max(n, 1000), 0.01), key="text", prehash=prehash),
+            SketchJob(
+                "bloom_text",
+                BloomSpec(max(rows or n, 1000), 0.01),
+                key="text",
+                prehash=prehash,
+            ),
             SketchJob("cms_tool", CmsSpec(epsilon=0.0005, delta=0.01), key="tool", prehash=prehash),
             SketchJob(
                 "td_conv",
-                TdBloomSpec(100_000, 0.001, timeout=7 * 86400, start_time=t0_epoch),
+                TdBloomSpec(100_000, 0.001, timeout=7 * 86400, start_time=t0 or t0_epoch),
                 key="conv_id",
                 ts="ts",
                 prehash=prehash,
@@ -121,6 +126,33 @@ def bench_transcripts(spark) -> dict:
     dt_suite, dt_n, dt_4n = min(t_auto), min(t_n), min(t_4n)
     dt_mmh3 = min(t_mmh3)
     dt_single = min(_timed(lambda: build_many(tr, jobs[:1])) for _ in range(2))
+
+    # At-scale amortization evidence: the SAME prehash suite over 3x the
+    # rows (9M turns).  The mapInArrow path carries a fixed ~0.5-1s
+    # Python-runner stage cost that dominates at 3M rows and washes out as
+    # input grows — the throughput a cluster actually sees is the large-N
+    # number, so report it alongside the headline.
+    at_scale = {}
+    if time.perf_counter() - t0_phase < build_budget:
+        big_n_conv = 3 * N_CONV
+        big_path = f"{CACHE_DIR}/transcripts_{big_n_conv}.parquet"
+        try:
+            if not os.path.exists(big_path):
+                from sketchlib.testdata import write_transcripts_parquet
+
+                write_transcripts_parquet(big_path, n_conversations=big_n_conv, seed=42)
+            big = spark.read.parquet(big_path)
+            nb = big.count()
+            t0b = int(big.select(F.min(F.unix_timestamp("ts"))).first()[0])
+            big_jobs = suite_jobs(prehash=True, rows=nb, t0=t0b)
+            dt_big = min(_timed(lambda: build_many(big, big_jobs)) for _ in range(2))
+            at_scale = {
+                "at_scale_rows": nb,
+                "suite_build_sec_at_scale": round(dt_big, 3),
+                "turns_per_sec_at_scale": round(nb / dt_big),
+            }
+        except Exception:  # noqa: BLE001 — evidence metric, never fail the bench
+            pass
 
     hll = results["hll_conv"][0]
     # Headline scaling number: the converged min-over-samples from
@@ -169,6 +201,7 @@ def bench_transcripts(spark) -> dict:
         "scaling_efficiency_in_run": eff_in_run,
         "turns_per_sec_single_hll": round(n / dt_single),
         "hll_conv_estimate": round(hll.estimate()),
+        **at_scale,
     }
 
 
