@@ -17,3 +17,5 @@ from sketchlib.spark.agg import build_many, build_sketch, sketch_partials
 from sketchlib.spark import probe  # noqa: F401
 from sketchlib.spark.cuckoo_dist import build_sharded_cuckoo, cuckoo_probe_column  # noqa: F401
 from sketchlib.spark.rollup import merge_range, read_rollup, sketch_rollup, write_rollup  # noqa: F401
+from sketchlib.spark.prehash import PREHASH_SALT, prehash_pair  # noqa: F401
+from sketchlib.spark.sql_udaf import register_sql_udafs, sketch_state_agg, state_merge_agg  # noqa: F401

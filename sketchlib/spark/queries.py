@@ -724,6 +724,56 @@ def q_bloom_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_udaf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation as plain Spark SQL (spark/sql_udaf.py): per-day
+    HLL states built by a registered GROUPED_AGG UDAF over the xxhash64
+    lane, estimated by a registered scalar UDF, then RE-aggregated with the
+    merge UDAF — all inside one spark.sql statement.  Carrier: exact daily
+    distinct counts; bound: every estimate (per-day and the merged total)
+    within ±2% of exact."""
+    from sketchlib.spark.sql_udaf import register_sql_udafs
+
+    spec = HllSpec(p=14)
+    register_sql_udafs(spark, spec, "sk_hll")
+    events = _read(spark, sf_dir, "events")
+    events.select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("uid")
+    ).createOrReplaceTempView("udaf_events")
+    per_day = spark.sql(
+        """
+        SELECT day,
+               sk_hll_state(xxhash64(uid)) AS state,
+               sk_hll_estimate(sk_hll_state(xxhash64(uid))) AS est
+        FROM udaf_events WHERE uid IS NOT NULL GROUP BY day
+        """
+    )
+    per_day.createOrReplaceTempView("udaf_day_states")
+    total_est = spark.sql(
+        "SELECT sk_hll_estimate(sk_hll_merge(state)) AS est FROM udaf_day_states"
+    ).first()["est"]
+    exact = {
+        r["day"]: r["d"]
+        for r in spark.sql(
+            "SELECT day, COUNT(DISTINCT uid) AS d FROM udaf_events GROUP BY day"
+        ).collect()
+    }
+    total_true = spark.sql(
+        "SELECT COUNT(DISTINCT uid) AS d FROM udaf_events"
+    ).first()["d"]
+    day_ok = all(
+        abs(r["est"] - exact[r["day"]]) / exact[r["day"]] <= 0.02
+        for r in per_day.select("day", "est").collect()
+    )
+    total_ok = abs(total_est - total_true) / total_true <= 0.02
+    return (
+        spark.createDataFrame(
+            sorted(exact.items()), "day date, true_distinct bigint"
+        )
+        .withColumn("daily_within_2pct", F.lit(bool(day_ok)))
+        .withColumn("merged_within_2pct", F.lit(bool(total_ok)))
+    )
+
+
 def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-partitioned HLL rollup: one tiny sketch state per day, weekly
     distinct-user counts answered by MERGING day states (never rescanning
@@ -1307,6 +1357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "hll_distinct_user_type": q_hll_distinct_user_type,
     "hll_daily_rollup": q_hll_daily_rollup,
+    "sql_udaf_rollup": q_sql_udaf_rollup,
     "bottomk_distinct_sample": q_bottomk_distinct_sample,
     "bloom_membership": q_bloom_membership,
     "prehash_membership": q_prehash_membership,
@@ -1391,6 +1442,13 @@ ORACLES: dict[str, str] = {
         SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
                COUNT(DISTINCT user_id) AS true_distinct,
                TRUE AS within_2pct
+        FROM events GROUP BY 1
+    """,
+    "sql_udaf_rollup": """
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS true_distinct,
+               TRUE AS daily_within_2pct,
+               TRUE AS merged_within_2pct
         FROM events GROUP BY 1
     """,
     "bloom_membership": """
