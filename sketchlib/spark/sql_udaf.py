@@ -177,6 +177,30 @@ def saturation_udf(spec: BaseSpec):
     return _sat
 
 
+def quantile_udf(spec: BaseSpec, q: float):
+    """Scalar pandas UDF: serialized KLL / t-digest state → the ``q``
+    quantile.  One registered function per quantile (SQL has no extra
+    scalar arg for aggregated-state readers)."""
+    if spec.kind not in _VALUES:
+        raise ValueError(f"no quantile reader for kind {spec.kind}")
+    spec_json = spec.to_json()
+    q = float(q)
+
+    @F.pandas_udf("double")
+    def _q(states: pd.Series) -> pd.Series:
+        spec_ = BaseSpec.from_json(spec_json)
+        cls = KERNEL_BY_KIND[spec_.kind]
+        out = [
+            float(cls.deserialize(spec_, _unpack_state(bytes(b))).quantile(q))
+            if b is not None
+            else None
+            for b in states
+        ]
+        return pd.Series(out, dtype="float64")
+
+    return _q
+
+
 def register_sql_udafs(spark: SparkSession, spec: BaseSpec, prefix: str) -> None:
     """Register ``<prefix>_state`` / ``<prefix>_merge`` (and
     ``<prefix>_estimate`` for HLL, ``<prefix>_saturation`` where supported)

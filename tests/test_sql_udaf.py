@@ -133,6 +133,24 @@ def test_sql_kll_values_lane(spark):
     assert abs(med - 50.0) / 50.0 <= 0.05
 
 
+def test_sql_quantile_udf_per_group(spark):
+    """Per-group t-digest states read by a registered quantile UDF."""
+    from sketchlib.spark.sql_udaf import quantile_udf
+    from sketchlib.specs import TDigestSpec
+
+    spec = TDigestSpec()
+    agg = sketch_state_agg(spec)
+    p50 = quantile_udf(spec, 0.5)
+    vals = spark.range(60_000).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") % 3 + 1) * (F.col("id") % 1000) / 1.0).alias("v"),
+    )
+    rows = vals.groupBy("g").agg(p50(agg(F.col("v"))).alias("med")).collect()
+    for r in rows:
+        true_med = (r["g"] + 1) * 999 / 2.0
+        assert abs(r["med"] - true_med) / true_med <= 0.05
+
+
 def test_sql_float_lane_rejected(spark, df):
     """A lane with nulls arrives as float — must fail loudly, not corrupt."""
     spec = HllSpec(p=12)

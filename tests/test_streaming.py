@@ -49,6 +49,26 @@ def test_stream_build_equals_batch(spark, tr_dir, tmp_path):
         assert metrics["epochs"] == 5
 
 
+def test_stream_build_prehash_equals_batch(spark, tr_dir, tmp_path):
+    """The JVM-prehash fast path flows through the streaming sink unchanged:
+    micro-batch folding of prehash jobs is byte-identical to one prehash
+    batch build (the sink calls build_many, which owns the mode)."""
+    store = SketchStore(str(tmp_path / "store_ph"))
+    jobs = [
+        SketchJob("hll_conv", HllSpec(p=12), key="conv_id", prehash=True),
+        SketchJob("cms_tool", CmsSpec(epsilon=0.01, delta=0.1), key="tool", prehash=True),
+    ]
+    q = streaming.run_stream_build(
+        spark, tr_dir, store, jobs, checkpoint_dir=str(tmp_path / "ckpt_ph")
+    )
+    q.processAllAvailable()
+    q.stop()
+    batch = build_many(spark.read.parquet(tr_dir), jobs)
+    for job in jobs:
+        streamed, _ = store.load_kernel(job.name)
+        assert streamed.serialize() == batch[job.name][0].serialize(), job.name
+
+
 def test_epoch_replay_is_idempotent(spark, tr_dir, tmp_path):
     """Replaying an epoch (at-least-once delivery) must not double-count."""
     store = SketchStore(str(tmp_path / "store2"))
