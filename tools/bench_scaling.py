@@ -91,7 +91,9 @@ expr = [
     F.xxhash64("text"), F.xxhash64("text", F.lit(1)),
     F.xxhash64("tool"), F.xxhash64("tool", F.lit(1)),
 ]
-agg = [F.sum(e).alias(f"s{i}") for i, e in enumerate(expr)]
+# max, not sum: summing 9M xxhash64 longs overflows int64 under ANSI mode;
+# max still forces every hash to be computed and costs one comparison
+agg = [F.max(e).alias(f"s{i}") for i, e in enumerate(expr)]
 tr.agg(*agg).collect()  # warm JIT/codegen
 reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 times = []
