@@ -138,6 +138,10 @@ def bench_transcripts(spark) -> dict:
         big_path = f"{CACHE_DIR}/transcripts_{big_n_conv}.parquet"
         try:
             if not os.path.exists(big_path):
+                # cold cache: generating 3x transcripts costs ~90s — only pay
+                # it when the build phase still has that much headroom
+                if time.perf_counter() - t0_phase > build_budget - 120:
+                    raise TimeoutError("no budget to generate the 3x table")
                 from sketchlib.testdata import write_transcripts_parquet
 
                 write_transcripts_parquet(big_path, n_conversations=big_n_conv, seed=42)
