@@ -95,8 +95,10 @@ def bench_transcripts(spark) -> dict:
 
     # FLAGSHIP: the prehash build (xxhash64 pairs in whole-stage codegen,
     # only int64 columns cross to Python — the recommended mode at cluster
-    # scale, ~2x the mmh3 path at this size).  The mmh3-parity build (bit-
-    # compatible with archbloom native files) is measured alongside.
+    # scale: 2.2x cheaper kernel loop and ~24x smaller crossing, though on
+    # this one box end-to-end matches mmh3 because per-stream Arrow
+    # machinery floors both; see spark/prehash.py).  The mmh3-parity build
+    # (bit-compatible with archbloom native files) is measured alongside.
     jobs = suite_jobs(prehash=True)
     jobs_mmh3 = suite_jobs(prehash=False)
     results = build_many(tr, jobs)  # warm (JIT, workers, footers)

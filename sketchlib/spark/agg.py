@@ -60,9 +60,11 @@ class SketchJob:
 
     ``prehash=True`` switches the job to the JVM-prehash fast path
     (``spark/prehash.py``): the key is hashed to an xxhash64 pair inside
-    whole-stage codegen and only two int64 columns cross to Python — ~2x
-    faster end-to-end on the bench suite and the recommended mode at
-    cluster scale.  The resulting sketch is NOT bit-compatible with
+    whole-stage codegen and only two int64 columns cross to Python —
+    2.2x cheaper Python kernel loop and ~24x smaller crossing (measured;
+    end-to-end parity on one box, where per-stream Arrow machinery floors
+    both modes — see prehash.py), the recommended mode at cluster scale.
+    The resulting sketch is NOT bit-compatible with
     mmh3-built states or archbloom native files; probe it with
     ``probe.probe_column(..., prehash=True)``.  Supported kinds: any kernel
     exposing ``update_hashes`` (hll, bloom, cms, tdbloom, cbloom, tdcbloom,
@@ -213,6 +215,7 @@ def sketch_partials(
     wants_key = key is not None
     wants_ts = ts is not None
     wants_vals = values is not None
+    one_lane = spec.kind in ("hll",)
     if wants_key:
         if prehash:
             _require_prehashable(spec)
@@ -220,7 +223,8 @@ def sketch_partials(
 
             h1c, h2c = prehash_pair(key)
             cols.append(h1c.alias("__h1"))
-            cols.append(h2c.alias("__h2"))
+            if not one_lane:
+                cols.append(h2c.alias("__h2"))
         else:
             cols.append(_as_key_col(key))
     if wants_ts:
@@ -251,11 +255,13 @@ def sketch_partials(
             rows += n
             if wants_key and prehash:
                 tsec = _ts_seconds(batch.column("__ts")) if wants_ts else None
-                h1, h2, tsec = _u64_pair(
-                    batch.column("__h1"), batch.column("__h2"), tsec
-                )
+                a1 = batch.column("__h1")
+                a2 = batch.column("__h2") if not one_lane else a1
+                h1, h2, tsec = _u64_pair(a1, a2, tsec)
                 if wants_ts:
                     kernel.update_hashes(h1, h2, tsec)
+                elif one_lane:
+                    kernel.update_hashes(h1)
                 else:
                     kernel.update_hashes(h1, h2)
             elif wants_key:
@@ -324,7 +330,10 @@ def build_many(
 
                 h1, h2 = prehash_pair(job.key)
                 _register(None, "h1", ji, pre_built=h1)
-                _register(None, "h2", ji, pre_built=h2)
+                # one-lane kinds (HLL) never read h2 — don't make the JVM
+                # compute a second xxhash64 per row for nothing
+                if job.spec.kind not in ("hll",):
+                    _register(None, "h2", ji, pre_built=h2)
             else:
                 _register(job.key, "key", ji)
         if job.ts is not None:
@@ -357,7 +366,7 @@ def build_many(
             for kern, role in zip(kernels, roles):
                 if "h1" in role:
                     a1 = batch.column(role["h1"])
-                    a2 = batch.column(role["h2"])
+                    a2 = batch.column(role["h2"]) if "h2" in role else a1
                     tsec = (
                         _ts_seconds(batch.column(role["ts"]))
                         if "ts" in role
@@ -366,8 +375,10 @@ def build_many(
                     h1, h2, tsec = _u64_pair(a1, a2, tsec)
                     if "ts" in role:
                         kern.update_hashes(h1, h2, tsec)
-                    else:
+                    elif "h2" in role:
                         kern.update_hashes(h1, h2)
+                    else:
+                        kern.update_hashes(h1)  # one-lane kind (HLL)
                 elif "key" in role:
                     a = role["key"]
                     arr = batch.column(a)

@@ -8,8 +8,18 @@ necessary: every kernel in the bloom family consumes only a 64-bit hash
 pair (Kirsch–Mitzenmacher, src/mmh3.c:308-315 — any uniform 64-bit family
 keeps the published FPR/ε/±2% bounds), so the hashes can be computed inside
 whole-stage codegen with ``xxhash64`` and only two int64 columns cross to
-Python.  Measured on the bench suite: 2.0 s → ~1.0 s for the 5-sketch
-3M-row build (the crossing slims AND the kernel skips its hash pass).
+Python.
+
+Measured (interleaved min-of-N on the shared bench box, 5-sketch suite):
+the Python kernel loop is **2.2×** cheaper (0.179 s vs 0.386 s per 400k
+rows, isolated) and the crossing moves ~24× fewer bytes; end-to-end on
+one box both modes land within noise (~5.0 vs 5.3 s at 9M rows) because
+the per-stream Arrow conversion machinery (~250k rows/s per worker
+stream, insensitive to byte width and batch size) floors both — a
+per-executor cost that scales out with cluster width, which is where the
+kernel/crossing savings surface.  Under high fan-out memory pressure the
+slimmer mode degrades far less (9.1 s vs 22.3 s at 24 partials / 9M
+rows).
 
 Trade-off (documented, opt-in): a prehashed sketch is NOT bit-compatible
 with mmh3-built states or archbloom native files — it is its own hash
