@@ -128,6 +128,15 @@ def bench_transcripts(spark) -> dict:
     dt_suite, dt_n, dt_4n = min(t_auto), min(t_n), min(t_4n)
     dt_mmh3 = min(t_mmh3)
     dt_single = min(_timed(lambda: build_many(tr, jobs[:1])) for _ in range(2))
+    # pure-Catalyst HLL (spark/hll_sql.py): the register update as a
+    # declarative aggregate — zero Python in the build path
+    from sketchlib.spark.hll_sql import build_hll_sql
+
+    build_hll_sql(tr, HllSpec(p=14), "conv_id")  # warm
+    dt_hll_sql = min(
+        _timed(lambda: build_hll_sql(tr, HllSpec(p=14), "conv_id"))
+        for _ in range(2)
+    )
 
     # At-scale amortization evidence: the SAME prehash suite over 3x the
     # rows (9M turns).  The mapInArrow path carries a fixed ~0.5-1s
@@ -206,6 +215,7 @@ def bench_transcripts(spark) -> dict:
         "scaling_efficiency_source": eff_source,
         "scaling_efficiency_in_run": eff_in_run,
         "turns_per_sec_single_hll": round(n / dt_single),
+        "turns_per_sec_hll_sql": round(n / dt_hll_sql),
         "hll_conv_estimate": round(hll.estimate()),
         **at_scale,
     }
