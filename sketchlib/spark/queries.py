@@ -305,6 +305,32 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out)
 
 
+def q_cms_sql_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst CMS (spark/cms_sql.py): build = groupBy(i,pos).count
+    over an explode×d (≤ d·w state rows), probe = broadcast-join of the
+    probe keys' cells against that frame — zero Python in either path
+    (plan-asserted in tests).  Same one-sided Cormode–Muthukrishnan checks
+    as cms_heavy_hitters, evaluated declaratively."""
+    from sketchlib.spark.cms_sql import cms_cell_rows, cms_sql_estimates
+
+    events = _read(spark, sf_dir, "events")
+    spec = CmsSpec(epsilon=0.0005, delta=0.01)
+    cells = cms_cell_rows(events, spec, "event_type")
+    est = cms_sql_estimates(cells, events, spec, "event_type")
+    n = events.count()
+    eps_n = float(np.e / spec.width * n)
+    exact = events.groupBy("event_type").count().withColumnRenamed("count", "cnt")
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "cnt",
+            (F.col("est") >= F.col("cnt")).alias("never_undercounts"),
+            ((F.col("est") - F.col("cnt")) <= eps_n).alias("overcount_within_epsN"),
+        )
+    )
+
+
 def q_bottomk_distinct_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k (KMV) sketch: a DETERMINISTIC uniform sample over distinct
     user_ids + a cardinality estimate, one tiny mergeable state (byte-
@@ -1393,6 +1419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "archbloom_file_roundtrip": q_archbloom_file_roundtrip,
     "cuckoo_membership": q_cuckoo_membership,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cms_sql_heavy_hitters": q_cms_sql_heavy_hitters,
     "mg_heavy_hitters": q_mg_heavy_hitters,
     "cbloom_point_counts": q_cbloom_point_counts,
     "sbf_frequency": q_sbf_frequency,
@@ -1515,6 +1542,13 @@ ORACLES: dict[str, str] = {
         WHERE doc_id % 2 = 0 AND doc_id % 10 != 0
     """,
     "cms_heavy_hitters": """
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               TRUE AS never_undercounts,
+               TRUE AS overcount_within_epsN
+        FROM events GROUP BY event_type
+    """,
+    "cms_sql_heavy_hitters": """
         SELECT event_type,
                COUNT(*) AS cnt,
                TRUE AS never_undercounts,
