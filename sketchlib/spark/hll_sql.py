@@ -66,6 +66,52 @@ def hll_register_rows(df: DataFrame, spec: HllSpec, key) -> DataFrame:
     )
 
 
+def hll_sql_rollup(
+    df: DataFrame, spec: HllSpec, key, bucket=None, ts: str = "ts"
+) -> DataFrame:
+    """Day-bucketed HLL rollup with the register aggregation in Catalyst:
+    ``groupBy(bucket, idx).agg(max(rho), count)`` — the shuffle carries at
+    most ``buckets × 2^p`` integer rows and NO raw keys; Python appears
+    only to pack each bucket's ≤ 2^p register rows into a state blob.
+
+    Output schema matches ``spark/rollup.py`` (``bucket date, state binary,
+    rows bigint``), so ``write_rollup`` / ``read_rollup`` / ``merge_range``
+    work unchanged — but the states are xxhash64-family (prehash): do not
+    mix them in one store with mmh3-family rollups."""
+    import pandas as pd
+
+    from sketchlib.spark.agg import _pack_state
+
+    bcol = F.to_date(ts) if bucket is None else (
+        F.col(bucket) if isinstance(bucket, str) else bucket
+    )
+    idx, rho = _idx_rho(key, spec.p)
+    reg = (
+        df.select(bcol.alias("bucket"), idx.alias("idx"), rho.alias("rho"))
+        .filter(F.col("idx").isNotNull() & F.col("bucket").isNotNull())
+        .groupBy("bucket", "idx")
+        .agg(F.max("rho").alias("rho"), F.count(F.lit(1)).alias("c"))
+    )
+    m, p = spec.m, spec.p
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        regs = np.zeros(m, dtype=np.uint8)
+        regs[pdf["idx"].to_numpy(dtype=np.int64)] = np.minimum(
+            pdf["rho"].to_numpy(dtype=np.int64), 64 - p + 1
+        ).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "bucket": [pdf["bucket"].iloc[0]],
+                "state": [_pack_state(regs.tobytes())],
+                "rows": [int(pdf["c"].sum())],
+            }
+        )
+
+    return reg.groupBy("bucket").applyInPandas(
+        pack, "bucket date, state binary, rows bigint"
+    )
+
+
 def build_hll_sql(df: DataFrame, spec: HllSpec, key) -> HyperLogLog:
     """Build an xxhash64-family HLL with zero Python in the build path.
 

@@ -64,6 +64,33 @@ def test_sql_build_merges_with_prehash_kernel(spark, df):
     assert merged.serialize() == full.serialize()
 
 
+def test_sql_rollup_day_states(spark):
+    """SQL-grouped rollup: per-day states equal independent per-day SQL
+    builds byte-for-byte; merge_range over the frame answers the
+    whole-window distinct within bounds."""
+    from sketchlib.spark.hll_sql import hll_sql_rollup
+    from sketchlib.spark.rollup import merge_range
+
+    spec = HllSpec(p=12)
+    df = spark.range(30_000).select(
+        F.concat(F.lit("u"), (F.col("id") % 4000).cast("string")).alias("key"),
+        (F.lit(1_700_000_000) + (F.col("id") % 3) * 86_400).cast("timestamp").alias("ts"),
+    )
+    roll = hll_sql_rollup(df, spec, "key").cache()
+    assert roll.count() == 3
+    from sketchlib.spark.agg import _unpack_state
+
+    for r in roll.collect():
+        day_df = df.filter(F.to_date("ts") == r["bucket"])
+        direct = build_hll_sql(day_df, spec, "key")
+        assert _unpack_state(bytes(r["state"])) == direct.serialize()
+        assert r["rows"] == day_df.count()
+    kernel, total = merge_range(roll, spec)
+    true = df.select(F.countDistinct("key")).first()[0]
+    assert total == df.count()
+    assert abs(kernel.estimate() - true) / true <= 0.03
+
+
 def test_register_rows_bounded(spark, df):
     spec = HllSpec(p=10)
     rows = hll_register_rows(df, spec, "key")
