@@ -19,5 +19,5 @@ from sketchlib.spark.cuckoo_dist import build_sharded_cuckoo, cuckoo_probe_colum
 from sketchlib.spark.rollup import merge_range, read_rollup, sketch_rollup, write_rollup  # noqa: F401
 from sketchlib.spark.prehash import PREHASH_SALT, prehash_pair  # noqa: F401
 from sketchlib.spark.sql_udaf import register_sql_udafs, sketch_state_agg, state_merge_agg  # noqa: F401
-from sketchlib.spark.hll_sql import build_hll_sql, hll_register_rows  # noqa: F401
+from sketchlib.spark.hll_sql import build_hll_sql, hll_register_rows, hll_sql_rollup  # noqa: F401
 from sketchlib.spark.cms_sql import cms_cell_rows, cms_sql_estimates  # noqa: F401
