@@ -48,8 +48,8 @@ _STATE_CACHE_MAX = 64
 # kernel kinds whose update()/probe take an event-time argument
 _TIMED_KINDS = ("tdbloom", "tdcbloom")
 # kinds with a boolean membership probe / an integer point estimate
-_CONTAINS_KINDS = ("bloom", "cbloom", "cuckoo", "tdbloom", "tdcbloom")
-_COUNT_KINDS = ("cbloom", "cms", "mg", "tdcbloom")
+_CONTAINS_KINDS = ("bloom", "cbloom", "cuckoo", "tdbloom", "tdcbloom", "sbf")
+_COUNT_KINDS = ("cbloom", "cms", "mg", "tdcbloom", "sbf")
 
 
 def shard_route(col: Column | str, n_shards: int) -> Column:
@@ -65,6 +65,7 @@ def build_sharded_states(
     spec: BaseSpec,
     n_shards: int = 64,
     ts=None,
+    prehash: bool = False,
 ) -> DataFrame:
     """Build S independent per-shard kernels in one shuffled pass.
 
@@ -72,30 +73,58 @@ def build_sharded_states(
     with headroom.  ``ts`` (column, required for tdbloom/tdcbloom) supplies
     event time.  Returns the uncollected state DataFrame; persist it with
     :func:`save_states` for reuse across jobs.
+
+    ``prehash=True`` is the cluster-scale pairing with the prehash family
+    (``spark/prehash.py``): the routing hash ``xxhash64(key)`` doubles as
+    the kernel's h1 lane, so only two int64 columns shuffle and the raw
+    key never leaves the JVM.  Probe the result with
+    ``probe_sharded(..., prehash=True)``.
     """
     kcol = (F.col(key) if isinstance(key, str) else key).cast("string")
-    cols = [kcol.alias("__key"), shard_route(kcol, n_shards).alias("__s")]
     timed = spec.kind in _TIMED_KINDS
+    if prehash:
+        from sketchlib.spark.prehash import prehash_pair
+
+        if not hasattr(KERNEL_BY_KIND[spec.kind], "update_hashes"):
+            raise ValueError(f"kind {spec.kind} has no prehashed ingest")
+        h1, h2 = prehash_pair(kcol)
+        cols = [
+            h1.alias("__h1"),
+            h2.alias("__h2"),
+            F.pmod(h1, F.lit(n_shards)).cast("int").alias("__s"),
+        ]
+    else:
+        cols = [kcol.alias("__key"), shard_route(kcol, n_shards).alias("__s")]
     if timed:
         if ts is None:
             raise ValueError(f"{spec.kind} build needs a ts column")
         tcol = F.col(ts) if isinstance(ts, str) else ts
         cols.append(tcol.alias("__ts"))
-    proj = df.select(*cols).filter(F.col("__key").isNotNull())
+    proj = df.select(*cols).filter(
+        F.col("__h1" if prehash else "__key").isNotNull()
+    )
     spec_json = spec.to_json()
     shards = int(n_shards)
 
     def build(tbl: pa.Table) -> pa.Table:
         kernel = _new_kernel(spec_json)
         shard = int(tbl.column("__s")[0].as_py())
-        keys = tbl.column("__key")
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        data, off = mmh3.arrow_string_buffers(keys)
-        if timed:
-            ok = kernel.update(data, off, _ts_seconds(tbl.column("__ts")))
+        if prehash:
+            h1v = mmh3.as_u64(tbl.column("__h1").to_numpy(zero_copy_only=False))
+            h2v = mmh3.as_u64(tbl.column("__h2").to_numpy(zero_copy_only=False))
+            if timed:
+                ok = kernel.update_hashes(h1v, h2v, _ts_seconds(tbl.column("__ts")))
+            else:
+                ok = kernel.update_hashes(h1v, h2v)
         else:
-            ok = kernel.update(data, off)
+            keys = tbl.column("__key")
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            data, off = mmh3.arrow_string_buffers(keys)
+            if timed:
+                ok = kernel.update(data, off, _ts_seconds(tbl.column("__ts")))
+            else:
+                ok = kernel.update(data, off)
         if ok is not None and not bool(np.all(ok)):  # cuckoo overflow
             raise RuntimeError(
                 f"shard {shard}: {int((~ok).sum())} failed inserts — raise "
@@ -145,6 +174,7 @@ def probe_sharded(
     as_of: int | None = None,
     result_col: str = "hit",
     spec: BaseSpec | None = None,
+    prehash: bool = False,
 ) -> DataFrame:
     """Routed probe: every row of ``df`` gains ``result_col`` (boolean for
     ``op='contains'``, long for ``op='count'``) evaluated against ITS shard's
@@ -173,9 +203,29 @@ def probe_sharded(
     n_shards = int(head[0])
 
     kcol = (F.col(key) if isinstance(key, str) else key).cast("string")
-    left = df.withColumn("__key", kcol).withColumn(
-        "__s", shard_route(F.col("__key"), n_shards)
-    )
+    if prehash:
+        from sketchlib.spark.prehash import prehash_pair
+
+        cls = KERNEL_BY_KIND[spec.kind]
+        ok_probe = (
+            hasattr(cls, "contains_hashes")
+            if op == "contains"
+            else (hasattr(cls, "count_hashes") or hasattr(cls, "estimate_hashes"))
+        )
+        if not ok_probe:
+            raise ValueError(f"kind {spec.kind} has no prehashed {op} probe")
+        h1, h2 = prehash_pair(kcol)
+        left = (
+            df.withColumn("__h1", h1)
+            .withColumn("__h2", h2)
+            .withColumn(
+                "__s", F.pmod(F.col("__h1"), F.lit(n_shards)).cast("int")
+            )
+        )
+    else:
+        left = df.withColumn("__key", kcol).withColumn(
+            "__s", shard_route(F.col("__key"), n_shards)
+        )
 
     out_fields = list(df.schema.fields)
     n_pass = len(out_fields)
@@ -198,6 +248,40 @@ def probe_sharded(
             res_pa = pa.int64()
         if n and r.num_rows:
             kernel = _resolve_state(spec_json, r.column("state")[0].as_py())
+            if prehash:
+                a1 = l.column("__h1")
+                if isinstance(a1, pa.ChunkedArray):
+                    a1 = a1.combine_chunks()
+                a2 = l.column("__h2")
+                if isinstance(a2, pa.ChunkedArray):
+                    a2 = a2.combine_chunks()
+                valid = np.nonzero(
+                    a1.is_valid().to_numpy(zero_copy_only=False)
+                )[0]
+                if valid.size:
+                    take = pa.array(valid)
+                    h1v = mmh3.as_u64(
+                        a1.take(take).to_numpy(zero_copy_only=False)
+                    )
+                    h2v = mmh3.as_u64(
+                        a2.take(take).to_numpy(zero_copy_only=False)
+                    )
+                    if op == "contains":
+                        got = (
+                            kernel.contains_hashes(h1v, h2v, as_of_i)
+                            if timed
+                            else kernel.contains_hashes(h1v, h2v)
+                        )
+                    else:
+                        fn = (
+                            getattr(kernel, "count_hashes", None)
+                            or kernel.estimate_hashes
+                        )
+                        got = fn(h1v, h2v, as_of_i) if timed else fn(h1v, h2v)
+                    out[valid] = got.astype(out.dtype)
+                return passthrough.append_column(
+                    out_schema[n_pass].name, pa.array(out, type=res_pa)
+                )
             keys = l.column("__key")
             if isinstance(keys, pa.ChunkedArray):
                 keys = keys.combine_chunks()

@@ -145,6 +145,29 @@ def test_cuckoo_probe_join_and_overflow(spark, docs):
         build_sharded_states(docs, "id", tiny, n_shards=2).collect()
 
 
+def test_prehash_probe_join_equals_prehash_broadcast(spark, docs):
+    """Prehash build+probe through the routed no-broadcast path: equal to
+    the broadcast prehash probe, no false negatives, null keys False, and
+    the raw key never crosses (the probe frame carries only hash lanes)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark import build_sketch, probe
+    from sketchlib.spark.probe_join import build_sharded_states, probe_sharded
+    from sketchlib.specs import BloomSpec
+
+    spec = BloomSpec(20_000, 1e-6)
+    states = build_sharded_states(docs, "id", spec, n_shards=4, prehash=True)
+    probed = probe_sharded(states, docs, "id", spec=spec, prehash=True)
+    # broadcast reference: one merged prehash kernel over the same rows
+    merged, _ = build_sketch(docs, BloomSpec(20_000, 1e-6), key="id", prehash=True)
+    ref = docs.withColumn(
+        "ref", probe.probe_column(spark, merged, "id", prehash=True)
+    )
+    joined = probed.join(ref.select("id", "ref"), "id")
+    assert joined.filter(F.col("hit") != F.col("ref")).count() == 0
+    assert probed.filter(~F.col("hit")).count() == 0  # all inserted found
+
+
 def test_states_save_load_roundtrip(spark, docs, tmp_path):
     spec = BloomSpec(4000, 0.01)
     states = build_sharded_states(docs, "id", spec, n_shards=8)
