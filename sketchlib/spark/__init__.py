@@ -21,3 +21,13 @@ from sketchlib.spark.prehash import PREHASH_SALT, prehash_pair  # noqa: F401
 from sketchlib.spark.sql_udaf import register_sql_udafs, sketch_state_agg, state_merge_agg  # noqa: F401
 from sketchlib.spark.hll_sql import build_hll_sql, hll_register_rows, hll_sql_rollup  # noqa: F401
 from sketchlib.spark.cms_sql import cms_cell_rows, cms_sql_estimates  # noqa: F401
+from sketchlib.spark.bloom_sql import (  # noqa: F401
+    bloom_sql_members,
+    bloom_word_rows,
+    build_bloom_sql,
+    build_cbloom_sql,
+    build_tdbloom_sql,
+    cbloom_cell_rows,
+    cbloom_sql_counts,
+    tdbloom_cell_rows,
+)

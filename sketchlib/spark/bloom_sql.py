@@ -1,0 +1,336 @@
+"""Pure-Catalyst bloom-family builds: the Kirsch–Mitzenmacher position
+ladder, the bitmap OR, the counter add and the tick max all expressed as
+declarative aggregations — **zero Python in the build dataflow**, and the
+materialized kernels are **byte-identical** to the prehash kernel path
+(``build_sketch(..., prehash=True)``) over the same rows.
+
+Why this exists: the mapInArrow kernel build pays a per-stream Python/Arrow
+conversion cost (~250k rows/s per worker stream, measured — see
+``spark/prehash.py``) that floors single-box scaling at ~0.5 even though
+the JVM half scales at ~0.9.  Expressing the whole update inside
+whole-stage codegen removes that floor: the shuffle after map-side combine
+carries at most *state-sized* cell rows (≤ m/64 words for bloom, ≤ m
+counters for cbloom, ≤ m ticks for tdbloom), never data-sized rows.
+
+The ANSI-mode obstacle (documented in ``spark/cms_sql.py``, which chose a
+different hash family to avoid it) is solved here rather than avoided:
+the KM ladder needs wrap-around uint64 arithmetic, which Spark's ANSI mode
+forbids for ``+``/``*`` — but the same wrap is expressible with bitwise
+ops that ANSI never checks, by splitting each 64-bit value into 32-bit
+halves (:func:`_wrap_add`, :func:`_wrap_mul_const`).  A naive iterated
+``g += h2`` ladder is a trap: each wrap_add references its operand twice,
+so nesting doubles the expression tree per rung (2^k blowup hangs the
+optimizer at k≥10, observed).  The closed form ``g_i = h1 ⊞ (i ⊠ h2)``
+keeps every position expression O(1)-sized.
+
+Hash family: ``spark/prehash.py``'s xxhash64 pair — the SAME lanes the
+prehash kernel build consumes, so SQL-built and prehash-kernel-built
+states merge freely (byte-identity is property-tested).  NOT compatible
+with mmh3-built states or archbloom native files (use the parity path in
+``spark/agg.py`` for file interop).
+
+Reference semantics reproduced (same cell layout as the kernels):
+- bloom:  bit ``pos%8`` of byte ``pos/8`` set (src/bloom.c:228-231,:299)
+  — here as 64-bit words: ``groupBy(pos>>6).agg(bit_or(1<<(pos&63)))``;
+- cbloom: saturating per-cell add (src/cbloom.c:419-429) — since every
+  add is +1, the final counter is ``least(count(*), cap)`` per cell;
+- tdbloom: freshest event-time tick per cell (src/tdbloom.c:289-306;
+  event-time max — kernels/tdbloom.py) — ``groupBy(pos).agg(max(tick))``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sketchlib.kernels.bloom import BloomFilter
+from sketchlib.kernels.cbloom import CountingBloomFilter
+from sketchlib.kernels.tdbloom import TdBloomFilter
+from sketchlib.spark.prehash import prehash_pair
+from sketchlib.specs import BloomSpec, CBloomSpec, TdBloomSpec
+
+_M32 = 0xFFFFFFFF
+
+
+def _wrap_add(a: Column, b: Column) -> Column:
+    """``(a + b) mod 2^64`` on bigint columns under ANSI mode: 32-bit-half
+    addition glued with shifts — every intermediate fits in int64, and the
+    final ``shiftleft`` discards carry bits exactly like uint64 wrap."""
+    lo = a.bitwiseAND(F.lit(_M32)) + b.bitwiseAND(F.lit(_M32))
+    hi = (
+        F.shiftrightunsigned(a, 32)
+        + F.shiftrightunsigned(b, 32)
+        + F.shiftrightunsigned(lo, 32)
+    )
+    return F.shiftleft(hi, 32).bitwiseOR(lo.bitwiseAND(F.lit(_M32)))
+
+
+def _wrap_mul_const(h: Column, c: int) -> Column:
+    """``(c * h) mod 2^64`` for a small non-negative constant (c < 2^26 so
+    each 32-bit-half product stays far below int64 overflow)."""
+    if not 0 <= c < (1 << 26):
+        raise ValueError(f"constant multiplier out of range: {c}")
+    lo = h.bitwiseAND(F.lit(_M32)) * F.lit(c)
+    hi = F.shiftrightunsigned(h, 32) * F.lit(c) + F.shiftrightunsigned(lo, 32)
+    return F.shiftleft(hi, 32).bitwiseOR(lo.bitwiseAND(F.lit(_M32)))
+
+
+def _umod(h: Column, m: int) -> Column:
+    """``u64(h) mod m`` for a bigint column reinterpreted as uint64:
+    ``(pmod(h,m) + [h<0]·(2^64 mod m)) mod m``.  Needs ``2m < 2^63``."""
+    if m <= 0 or m >= (1 << 62):
+        raise ValueError(f"modulus out of range: {m}")
+    corr = (1 << 64) % m
+    return F.pmod(
+        F.pmod(h, F.lit(m))
+        + F.when(h < 0, F.lit(corr)).otherwise(F.lit(0)),
+        F.lit(m),
+    )
+
+
+def km_position_cols(key, k: int, m: int) -> list[Column]:
+    """The k cell positions of ``key`` in the prehash family — the exact
+    integer semantics of ``mmh3.positions_from_hashes`` over
+    ``prehash_pair(key)``, including the reference's ``% (2^64-1)``
+    after-wrap quirk (src/mmh3.c:308-315: a wrapped value of 2^64-1 — long
+    ``-1`` — maps to 0 before the modulus).  Null key → null positions.
+
+    NOTE: each returned Column embeds the full hash tree — fine for a few
+    positions in one projection, but k of them in a single generator
+    expression overflows janino's method-size limit (observed at k=7 on
+    the events table).  The builders below stage through
+    :func:`_staged_positions` instead, which aliases h1/h2 and each
+    position so codegen computes them once."""
+    h1, h2 = prehash_pair(key)
+    return [_pos_expr(h1, h2, i, m) for i in range(k)]
+
+
+def _pos_expr(h1: Column, h2: Column, i: int, m: int) -> Column:
+    g = h1 if i == 0 else _wrap_add(h1, _wrap_mul_const(h2, i))
+    g = F.when(g == -1, F.lit(0)).otherwise(g)
+    return _umod(g, m)
+
+
+def _staged_positions(
+    df: DataFrame, key, k: int, m: int, extra: dict[str, Column] | None = None
+) -> DataFrame:
+    """``df`` → columns ``__p0..__p{k-1}`` (+ ``extra``), computed through
+    two aliased projections (hash pair, then positions).  The aliases are
+    load-bearing: CollapseProject keeps multi-referenced non-cheap aliases
+    as their own codegen locals, so h1/h2 are hashed once per row and each
+    position tree is emitted once — without them the inlined generator
+    expression blows past janino's 64KB method limit and whole-stage
+    codegen fails (observed; the interpreted fallback is ~10x slower)."""
+    extra = extra or {}
+    h1, h2 = prehash_pair(key)
+    staged = df.select(
+        h1.alias("__h1"),
+        h2.alias("__h2"),
+        *[c.alias(name) for name, c in extra.items()],
+    )
+    return staged.select(
+        *[
+            _pos_expr(F.col("__h1"), F.col("__h2"), i, m).alias(f"__p{i}")
+            for i in range(k)
+        ],
+        *[F.col(name) for name in extra],
+    )
+
+
+def _word_mask_entries(k: int) -> Column:
+    """array<struct<w,mask>> over staged position columns ``__p0..``."""
+    entries = []
+    for i in range(k):
+        p = F.col(f"__p{i}")
+        entries.append(
+            F.struct(
+                F.shiftrightunsigned(p, 6).alias("w"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    p.bitwiseAND(F.lit(63)).cast("int"),
+                ).alias("mask"),
+            )
+        )
+    return F.array(*entries)
+
+
+# ---------------------------------------------------------------------------
+# bloom
+# ---------------------------------------------------------------------------
+
+def bloom_word_rows(df: DataFrame, spec: BloomSpec, key) -> DataFrame:
+    """The aggregated bitmap as 64-bit words ``(w bigint, word bigint)`` —
+    at most ``ceil(m/64)`` rows regardless of input size (map-side combine
+    runs inside whole-stage codegen).  Word w's little-endian bytes are
+    bytes ``8w..8w+7`` of the kernel bitmap, bit ``pos&63`` of the word is
+    bit ``pos&7`` of byte ``pos>>3`` — the exact kernel layout."""
+    staged = _staged_positions(df, key, spec.k, spec.m)
+    return (
+        staged.select(F.explode(_word_mask_entries(spec.k)).alias("e"))
+        .select("e.w", "e.mask")
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def _words_to_bits(rows, nbytes: int) -> np.ndarray:
+    nwords = (nbytes + 7) // 8
+    words = np.zeros(nwords, dtype=np.int64)
+    if rows:
+        words[np.array([r[0] for r in rows], dtype=np.int64)] = np.array(
+            [r[1] for r in rows], dtype=np.int64
+        )
+    return words.astype("<i8").view(np.uint8)[:nbytes].copy()
+
+
+def build_bloom_sql(df: DataFrame, spec: BloomSpec, key) -> BloomFilter:
+    """Build a prehash-family Bloom filter with zero Python in the build
+    dataflow.  Byte-identical to ``build_sketch(df, spec, key=key,
+    prehash=True)`` over the same rows (property-tested), so the result
+    merges freely with prehash kernel builds and probes with
+    ``probe_column(..., prehash=True)``."""
+    rows = [(r["w"], r["word"]) for r in bloom_word_rows(df, spec, key).collect()]
+    return BloomFilter(spec, _words_to_bits(rows, spec.nbytes))
+
+
+def bloom_sql_members(
+    words: DataFrame, df: DataFrame, spec: BloomSpec, key, result_col: str = "member"
+) -> DataFrame:
+    """Declarative membership probe: re-derives each distinct probe key's
+    k (word, mask) cells with the same expressions and broadcast-joins them
+    against the word frame — member iff every mask's bits are present.
+    Entirely JVM-side; missing words count as 0 (untouched bitmap).
+    Returns ``(<key>, result_col bool)`` with the key column in the
+    caller's ORIGINAL type (the hash lane string-casts internally, but the
+    returned values are the uncast originals, so joining the result back
+    against the source column needs no coercion)."""
+    orig = F.col(key) if isinstance(key, str) else key
+    probes = (
+        df.select(orig.alias("__orig"))
+        .filter(F.col("__orig").isNotNull())
+        .distinct()
+    )
+    staged = _staged_positions(
+        probes, F.col("__orig"), spec.k, spec.m, extra={"__orig": F.col("__orig")}
+    )
+    probed = staged.select(
+        "__orig", F.explode(_word_mask_entries(spec.k)).alias("e")
+    ).select("__orig", "e.w", "e.mask")
+    hit = F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask")
+    return (
+        probed.join(F.broadcast(words), "w", "left")
+        .groupBy("__orig")
+        .agg((F.min(hit.cast("int")) == 1).alias(result_col))
+        .withColumnRenamed("__orig", key if isinstance(key, str) else "key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cbloom
+# ---------------------------------------------------------------------------
+
+def cbloom_cell_rows(df: DataFrame, spec: CBloomSpec, key) -> DataFrame:
+    """Aggregated counters ``(pos bigint, cnt bigint)`` — ≤ m rows, counts
+    saturated at the spec's counter cap (sequential saturating +1 adds end
+    at ``min(total, cap)``, so the declarative form is exact)."""
+    staged = _staged_positions(df, key, spec.k, spec.m)
+    return (
+        staged.select(
+            F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos")
+        )
+        .filter(F.col("pos").isNotNull())
+        .groupBy("pos")
+        .agg(F.least(F.count(F.lit(1)), F.lit(spec.cap)).alias("cnt"))
+    )
+
+
+def build_cbloom_sql(df: DataFrame, spec: CBloomSpec, key) -> CountingBloomFilter:
+    """Prehash-family counting Bloom, zero Python in the build dataflow;
+    byte-identical to the prehash kernel build for +1 add streams."""
+    rows = cbloom_cell_rows(df, spec, key).collect()
+    counters = np.zeros(spec.m, dtype=spec.dtype)
+    if rows:
+        counters[np.array([r["pos"] for r in rows], dtype=np.int64)] = np.array(
+            [r["cnt"] for r in rows], dtype=np.uint64
+        ).astype(spec.dtype)
+    return CountingBloomFilter(spec, counters)
+
+
+def cbloom_sql_counts(
+    cells: DataFrame, df: DataFrame, spec: CBloomSpec, key, result_col: str = "cnt"
+) -> DataFrame:
+    """Declarative min-of-k point counts (cbloom_count, src/cbloom.c:487-504
+    semantics: never undercounts) — broadcast-join the probe keys' cells
+    against the counter frame; absent cells count 0.  The returned key
+    column keeps the caller's original (uncast) values."""
+    orig = F.col(key) if isinstance(key, str) else key
+    probes = (
+        df.select(orig.alias("__orig")).filter(F.col("__orig").isNotNull()).distinct()
+    )
+    staged = _staged_positions(
+        probes, F.col("__orig"), spec.k, spec.m, extra={"__orig": F.col("__orig")}
+    )
+    probed = staged.select(
+        "__orig",
+        F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos"),
+    )
+    return (
+        probed.join(F.broadcast(cells), "pos", "left")
+        .withColumn("c", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy("__orig")
+        .agg(F.min("c").alias(result_col))
+        .withColumnRenamed("__orig", key if isinstance(key, str) else "key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tdbloom
+# ---------------------------------------------------------------------------
+
+def _tick_col(spec: TdBloomSpec, ts) -> Column:
+    """1-based event-time tick (kernels/tdbloom.py::_stamp): ``(unix(ts) -
+    start_time) + 1``.  Caller contract (same as the kernel, which raises):
+    ts ≥ spec.start_time — violations are caught at materialization."""
+    t = F.col(ts) if isinstance(ts, str) else ts
+    return (F.unix_timestamp(t) - F.lit(spec.start_time) + F.lit(1)).cast("bigint")
+
+
+def tdbloom_cell_rows(df: DataFrame, spec: TdBloomSpec, key, ts: str = "ts") -> DataFrame:
+    """Aggregated ticks ``(pos bigint, tick bigint)`` — ≤ m rows, freshest
+    (max) event-time tick per cell, exactly the kernel's ``np.maximum.at``."""
+    staged = _staged_positions(
+        df, key, spec.k, spec.m, extra={"__tick": _tick_col(spec, ts)}
+    )
+    return (
+        staged.select(
+            F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos"),
+            F.col("__tick").alias("tick"),
+        )
+        .filter(F.col("pos").isNotNull() & F.col("tick").isNotNull())
+        .groupBy("pos")
+        .agg(F.max("tick").alias("tick"))
+    )
+
+
+def build_tdbloom_sql(
+    df: DataFrame, spec: TdBloomSpec, key, ts: str = "ts"
+) -> TdBloomFilter:
+    """Prehash-family time-decaying Bloom, zero Python in the build
+    dataflow; byte-identical to the prehash kernel build."""
+    rows = tdbloom_cell_rows(df, spec, key, ts).collect()
+    if rows:
+        ticks_arr = np.array([r["tick"] for r in rows], dtype=np.int64)
+        if ticks_arr.min() < 1:
+            raise ValueError("ts earlier than spec.start_time")
+        if ticks_arr.max() >= 2**31:
+            raise ValueError("ts span exceeds int32 ticks (>68 years)")
+    ticks = np.zeros(spec.m, dtype=np.int32)
+    if rows:
+        ticks[np.array([r["pos"] for r in rows], dtype=np.int64)] = ticks_arr.astype(
+            np.int32
+        )
+    return TdBloomFilter(spec, ticks)

@@ -77,21 +77,26 @@ def cms_sql_estimates(
 ) -> DataFrame:
     """Point estimates for the distinct keys of ``df[key]`` — min over the
     d broadcast-joined cells, entirely JVM-side.  Returns ``(key_col,
-    result_col)``; keys absent from every cell estimate 0 (they were never
-    added)."""
-    c = (F.col(key) if isinstance(key, str) else key).cast("string")
+    result_col)`` with the key column in the caller's ORIGINAL type (the
+    hash lane string-casts internally, but the returned values are the
+    uncast originals — an int probe key joins back without coercion); keys
+    absent from every cell estimate 0 (they were never added)."""
+    orig = F.col(key) if isinstance(key, str) else key
     probes = (
-        df.select(c.alias("__key"))
-        .filter(F.col("__key").isNotNull())
+        df.select(orig.alias("__orig"))
+        .filter(F.col("__orig").isNotNull())
         .distinct()
-        .select("__key", F.posexplode(_pos_array(F.col("__key"), spec)).alias("i", "pos"))
+        .select(
+            "__orig",
+            F.posexplode(_pos_array(F.col("__orig"), spec)).alias("i", "pos"),
+        )
     )
     return (
         probes.join(F.broadcast(cells), ["i", "pos"], "left")
         .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
-        .groupBy("__key")
+        .groupBy("__orig")
         .agg(F.min("cnt").alias(result_col))
-        .withColumnRenamed("__key", key if isinstance(key, str) else "key")
+        .withColumnRenamed("__orig", key if isinstance(key, str) else "key")
     )
 
 

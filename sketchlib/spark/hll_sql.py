@@ -37,11 +37,11 @@ from sketchlib.kernels import HyperLogLog
 from sketchlib.specs import HllSpec
 
 
-def _idx_rho(key, p: int) -> tuple[Column, Column]:
-    """(register index, rho) columns for the xxhash64 lane of ``key`` —
-    the exact integer formulas of kernels/hll.py::update_hashes."""
-    c = (F.col(key) if isinstance(key, str) else key).cast("string")
-    h = F.when(c.isNotNull(), F.xxhash64(c))
+def idx_rho_from_hash(h: Column, p: int) -> tuple[Column, Column]:
+    """(register index, rho) columns from an already-computed xxhash64 lane
+    — the exact integer formulas of kernels/hll.py::update_hashes.  Shared
+    with the single-pass suite builder (spark/suite_sql.py), which aliases
+    the hash column first to keep generated code small."""
     idx = F.shiftrightunsigned(h, 64 - p)
     w = F.shiftleft(h, p)
     clz = (
@@ -51,6 +51,13 @@ def _idx_rho(key, p: int) -> tuple[Column, Column]:
     )
     rho = F.least(clz + 1, F.lit(64 - p + 1))
     return idx, rho
+
+
+def _idx_rho(key, p: int) -> tuple[Column, Column]:
+    """(register index, rho) columns for the xxhash64 lane of ``key``."""
+    c = (F.col(key) if isinstance(key, str) else key).cast("string")
+    h = F.when(c.isNotNull(), F.xxhash64(c))
+    return idx_rho_from_hash(h, p)
 
 
 def hll_register_rows(df: DataFrame, spec: HllSpec, key) -> DataFrame:

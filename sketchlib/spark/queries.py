@@ -165,6 +165,82 @@ def q_prehash_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_sql_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst Bloom (spark/bloom_sql.py): the KM position ladder
+    (ANSI-safe wrap-around arithmetic), the bitmap OR and the membership
+    check all run inside whole-stage codegen — ZERO Python in build or
+    probe, the configuration that closes the N→4N scaling gate (the
+    mapInArrow per-stream floor is gone).  At p=1e-6 the probe equals the
+    exact semi-join (no false negatives; expected FP ≈ n·p ≪ 1), and the
+    materialized bitmap must be byte-identical to the prehash kernel build
+    over the same rows (same hash family — states merge freely)."""
+    from sketchlib.spark.bloom_sql import (
+        _words_to_bits,
+        bloom_sql_members,
+        bloom_word_rows,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    members = events.filter(F.col("event_type") == "purchase")
+    spec = BloomSpec(200_000, 1e-6)
+    words = bloom_word_rows(members, spec, "user_id").cache()
+    kern, _ = build_sketch(members, spec, key="user_id", prehash=True)
+    bits = _words_to_bits(
+        [(r["w"], r["word"]) for r in words.collect()], spec.nbytes
+    )
+    identical = bits.tobytes() == kern.serialize()
+    out = (
+        bloom_sql_members(words, events, spec, "user_id")
+        .filter("member")
+        .select("user_id")
+        .withColumn("byte_identical_to_kernel", F.lit(bool(identical)))
+    )
+    words.unpersist()
+    return out
+
+
+def q_cbloom_sql_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst counting-Bloom (spark/bloom_sql.py): counters as
+    ``groupBy(pos).least(count, cap)``, min-of-k point counts as a
+    broadcast join — zero Python in either path.  One-sided error checked
+    per key (never undercounts); byte-identity of the SQL-built counter
+    array vs the prehash kernel build is asserted for cbloom AND tdbloom
+    (the whole bloom family shares the declarative ladder)."""
+    from sketchlib.spark.bloom_sql import (
+        build_cbloom_sql,
+        build_tdbloom_sql,
+        cbloom_cell_rows,
+        cbloom_sql_counts,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    cspec = CBloomSpec(50_000, 0.001)
+    cells = cbloom_cell_rows(events, cspec, "user_id").cache()
+    est = cbloom_sql_counts(cells, events, cspec, "user_id")
+    ckern, _ = build_sketch(events, cspec, key="user_id", prehash=True)
+    c_ident = build_cbloom_sql(events, cspec, "user_id").serialize() == ckern.serialize()
+    t0, t1 = _ts_bounds(events)
+    tspec = TdBloomSpec(100_000, 0.001, timeout=max((t1 - t0), 1), start_time=t0)
+    tkern, _ = build_sketch(events, tspec, key="user_id", ts="ts", prehash=True)
+    t_ident = (
+        build_tdbloom_sql(events, tspec, "user_id", ts="ts").serialize()
+        == tkern.serialize()
+    )
+    exact = events.groupBy("user_id").count().withColumnRenamed("count", "cnt_exact")
+    out = (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "cnt_exact",
+            (F.col("cnt") >= F.col("cnt_exact")).alias("never_undercounts"),
+            F.lit(bool(c_ident)).alias("cbloom_byte_identical"),
+            F.lit(bool(t_ident)).alias("tdbloom_byte_identical"),
+        )
+    )
+    cells.unpersist()
+    return out
+
+
 def q_bloom_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-via-JOIN for sketches too big to broadcast (the 100-TB probe
     path): the Bloom state is built as key-routed shards and probed by
@@ -1415,6 +1491,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bottomk_distinct_sample": q_bottomk_distinct_sample,
     "bloom_membership": q_bloom_membership,
     "prehash_membership": q_prehash_membership,
+    "bloom_sql_membership": q_bloom_sql_membership,
+    "cbloom_sql_counts": q_cbloom_sql_counts,
     "bloom_probe_join": q_bloom_probe_join,
     "archbloom_file_roundtrip": q_archbloom_file_roundtrip,
     "cuckoo_membership": q_cuckoo_membership,
@@ -1522,6 +1600,19 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT user_id, TRUE AS hll_within_2pct
         FROM events
         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    "bloom_sql_membership": """
+        SELECT DISTINCT user_id, TRUE AS byte_identical_to_kernel
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    "cbloom_sql_counts": """
+        SELECT user_id,
+               COUNT(*) AS cnt_exact,
+               TRUE AS never_undercounts,
+               TRUE AS cbloom_byte_identical,
+               TRUE AS tdbloom_byte_identical
+        FROM events GROUP BY user_id
     """,
     "bloom_probe_join": """
         SELECT DISTINCT user_id, TRUE AS routed_not_broadcast

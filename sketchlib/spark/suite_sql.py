@@ -1,0 +1,329 @@
+"""Single-pass pure-Catalyst build of a multi-sketch suite — the
+north-star workload (HLL / Bloom / CMS / TdBloom / counting-Bloom over one
+scan) with ZERO Python anywhere in the dataflow, and every materialized
+kernel **byte-identical** to ``build_many(df, jobs, prehash=True)`` over
+the same rows (property-tested).
+
+This is the scaling-gate configuration: the mapInArrow kernel path pays a
+per-stream Python/Arrow conversion cost that floors single-box N→4N
+scaling at ~0.5 (measured; the JVM-only control reaches ~0.9 — see
+BENCH/BASELINE.md).  Here the entire suite is whole-stage codegen + one
+hash-aggregate, so it scales like the JVM control.
+
+Dataflow: every sketch's update is an associative per-cell aggregate over
+positions derivable in codegen, so the suite is ONE tagged union
+
+    (sk, cell, v)  →  groupBy(sk, cell).agg(max(v), bit_or(v), count(*))
+
+with map-side partial aggregation; the shuffle carries at most
+state-sized cell rows (Σ sketch cells), never data-sized rows:
+
+- HLL:     cell = register idx,        max(rho)        (spark/hll_sql.py)
+- Bloom:   cell = word idx,            bit_or(mask)    (spark/bloom_sql.py)
+- cbloom:  cell = counter pos,         count, capped at materialization
+- CMS:     cell = row·w + pos,         count — the prehash kernel's own
+           KM scheme (kernels/cms.py::update_hashes), NOT the independent
+           per-row family of spark/cms_sql.py, so the result byte-matches
+           the prehash kernel build
+- TdBloom: cell = pos,                 max(event-time tick)
+
+Hash family: the prehash xxhash64 pair throughout (``spark/prehash.py``)
+— states merge freely with prehash kernel builds and probe with
+``probe_column(..., prehash=True)``; NOT compatible with mmh3-built
+states or archbloom native files.
+
+Endpoints:
+- :func:`build_suite_sql` — materialize driver-side kernels, the
+  ``build_many`` parity endpoint ({name: (kernel, rows)});
+- :func:`run_suite_sql` — aggregate-only action (cell count): the state
+  stays distributed, the honest cluster endpoint for benchmarks (a real
+  100-TB job would write the cell frames to a store or probe them with
+  broadcast joins, never funnel them through one driver);
+- :func:`build_sketch_sql` — single-sketch convenience dispatcher.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sketchlib.kernels import CountMinSketch, HyperLogLog
+from sketchlib.spark.agg import SketchJob
+from sketchlib.spark.bloom_sql import (
+    _pos_expr,
+    _tick_col,
+    _word_mask_entries,
+    _words_to_bits,
+    build_bloom_sql,
+    build_cbloom_sql,
+    build_tdbloom_sql,
+)
+from sketchlib.spark.hll_sql import build_hll_sql, idx_rho_from_hash
+from sketchlib.spark.prehash import prehash_pair
+from sketchlib.specs import CmsSpec
+
+_SUPPORTED = ("hll", "bloom", "cbloom", "cms", "tdbloom")
+
+
+# ---------------------------------------------------------------------------
+# prehash-family CMS (KM ladder — byte-identical to the prehash kernel)
+# ---------------------------------------------------------------------------
+
+def cms_km_cell_rows(df: DataFrame, spec: CmsSpec, key) -> DataFrame:
+    """CMS cell frame ``(i, pos, cnt)`` in the PREHASH family — row i's
+    position is the KM ladder ``(h1 + i·h2) mod w`` (kernels/cms.py:42-55),
+    so ``build_cms_sql_km`` byte-matches the prehash kernel build.  For the
+    independent-per-row xxhash64 family (mergeable only with itself) use
+    ``spark/cms_sql.py``."""
+    h1, h2 = prehash_pair(key)
+    staged = df.select(h1.alias("__h1"), h2.alias("__h2"))
+    pos = staged.select(
+        *[
+            _pos_expr(F.col("__h1"), F.col("__h2"), i, spec.width).alias(f"__p{i}")
+            for i in range(spec.depth)
+        ]
+    )
+    return (
+        pos.select(
+            F.posexplode(
+                F.array(*[F.col(f"__p{i}") for i in range(spec.depth)])
+            ).alias("i", "pos")
+        )
+        .filter(F.col("pos").isNotNull())
+        .groupBy("i", "pos")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def build_cms_sql_km(df: DataFrame, spec: CmsSpec, key) -> CountMinSketch:
+    """Prehash-family CMS with zero Python in the build dataflow —
+    byte-identical to ``build_sketch(df, spec, key=key, prehash=True)``."""
+    rows = cms_km_cell_rows(df, spec, key).collect()
+    table = np.zeros((spec.depth, spec.width), dtype=np.uint64)
+    for r in rows:
+        table[r["i"], r["pos"]] = r["cnt"]
+    return CountMinSketch(spec, table)
+
+
+def build_sketch_sql(df: DataFrame, spec, key, ts: str = "ts"):
+    """Declarative single-sketch build, dispatched by spec kind — the
+    zero-Python counterpart of ``build_sketch(..., prehash=True)`` (same
+    hash family, byte-identical result)."""
+    kind = spec.kind
+    if kind == "hll":
+        return build_hll_sql(df, spec, key)
+    if kind == "bloom":
+        return build_bloom_sql(df, spec, key)
+    if kind == "cbloom":
+        return build_cbloom_sql(df, spec, key)
+    if kind == "cms":
+        return build_cms_sql_km(df, spec, key)
+    if kind == "tdbloom":
+        return build_tdbloom_sql(df, spec, key, ts=ts)
+    raise ValueError(
+        f"no declarative build for kind {kind!r}; supported: {_SUPPORTED}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the single-pass suite
+# ---------------------------------------------------------------------------
+
+def suite_cell_rows(df: DataFrame, jobs: list[SketchJob]) -> DataFrame:
+    """The whole suite's merged state as ONE tagged aggregation
+    ``(sk int, cell bigint, vmax bigint, vor bigint, cnt bigint)`` — one
+    scan, one explode, one shuffle of ≤ Σ-sketch-cells rows.  Three staged
+    projections keep generated code small (hash lanes, then positions,
+    then entries — see bloom_sql._staged_positions for why the aliases are
+    load-bearing)."""
+    lane_cols: list[Column] = []
+    pos_cols: list[Column] = []
+    entry_arrays: list[Column] = []
+
+    for j, job in enumerate(jobs):
+        kind = job.spec.kind
+        if kind not in _SUPPORTED:
+            raise ValueError(
+                f"job {job.name!r}: no declarative build for kind {kind!r}; "
+                f"supported: {_SUPPORTED}"
+            )
+        h1, h2 = prehash_pair(job.key)
+        lane_cols.append(h1.alias(f"__h1_{j}"))
+        if kind != "hll":
+            lane_cols.append(h2.alias(f"__h2_{j}"))
+        if kind == "tdbloom":
+            lane_cols.append(_tick_col(job.spec, job.ts).alias(f"__tick_{j}"))
+
+        sk = F.lit(j)
+        if kind == "hll":
+            idx, rho = idx_rho_from_hash(F.col(f"__h1_{j}"), job.spec.p)
+            pos_cols.append(idx.alias(f"__idx_{j}"))
+            pos_cols.append(rho.alias(f"__rho_{j}"))
+            entry_arrays.append(
+                F.array(
+                    F.struct(
+                        sk.alias("sk"),
+                        F.col(f"__idx_{j}").alias("cell"),
+                        F.col(f"__rho_{j}").alias("v"),
+                    )
+                )
+            )
+            continue
+
+        k = job.spec.depth if kind == "cms" else job.spec.k
+        m = job.spec.width if kind == "cms" else job.spec.m
+        for i in range(k):
+            pos_cols.append(
+                _pos_expr(F.col(f"__h1_{j}"), F.col(f"__h2_{j}"), i, m).alias(
+                    f"__p_{j}_{i}"
+                )
+            )
+        if kind == "bloom":
+            entries = []
+            for i in range(k):
+                p = F.col(f"__p_{j}_{i}")
+                entries.append(
+                    F.struct(
+                        sk.alias("sk"),
+                        F.shiftrightunsigned(p, 6).alias("cell"),
+                        F.call_function(
+                            "shiftleft",
+                            F.lit(1).cast("bigint"),
+                            p.bitwiseAND(F.lit(63)).cast("int"),
+                        ).alias("v"),
+                    )
+                )
+            entry_arrays.append(F.array(*entries))
+        elif kind == "cbloom":
+            entry_arrays.append(
+                F.array(
+                    *[
+                        F.struct(
+                            sk.alias("sk"),
+                            F.col(f"__p_{j}_{i}").alias("cell"),
+                            F.lit(1).cast("bigint").alias("v"),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            )
+        elif kind == "cms":
+            entry_arrays.append(
+                F.array(
+                    *[
+                        F.struct(
+                            sk.alias("sk"),
+                            (F.lit(i * m) + F.col(f"__p_{j}_{i}")).alias("cell"),
+                            F.lit(1).cast("bigint").alias("v"),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            )
+        elif kind == "tdbloom":
+            # null tick (null ts) drops the row, matching the parity build
+            entry_arrays.append(
+                F.array(
+                    *[
+                        F.struct(
+                            sk.alias("sk"),
+                            F.when(
+                                F.col(f"__tick_{j}").isNotNull(),
+                                F.col(f"__p_{j}_{i}"),
+                            ).alias("cell"),
+                            F.col(f"__tick_{j}").alias("v"),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            )
+            pos_cols.append(F.col(f"__tick_{j}"))
+
+    staged = df.select(*lane_cols).select(*pos_cols)
+    return (
+        staged.select(F.explode(F.concat(*entry_arrays)).alias("e"))
+        .select("e.sk", "e.cell", "e.v")
+        .filter(F.col("cell").isNotNull())
+        .groupBy("sk", "cell")
+        .agg(
+            F.max("v").alias("vmax"),
+            F.bit_or("v").alias("vor"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def run_suite_sql(df: DataFrame, jobs: list[SketchJob]) -> int:
+    """Aggregate-only suite action: computes the fully-merged distributed
+    cell state and returns its row count.  No driver materialization —
+    the benchmark endpoint (and the realistic cluster one: cell frames
+    are written to a store or probed via broadcast joins in place)."""
+    return suite_cell_rows(df, jobs).count()
+
+
+def build_suite_sql(
+    df: DataFrame, jobs: list[SketchJob]
+) -> dict[str, tuple[object, int]]:
+    """Materialize every suite kernel on the driver — the ``build_many``
+    parity endpoint: returns {job.name: (kernel, rows_ingested)} with each
+    kernel byte-identical to ``build_many(df, jobs, prehash=True)``.  The
+    collect is state-sized (Σ sketch cells), never data-sized."""
+    tbl = suite_cell_rows(df, jobs).toArrow()
+    sk = tbl.column("sk").to_numpy(zero_copy_only=False)
+    cell = tbl.column("cell").to_numpy(zero_copy_only=False)
+    vmax = tbl.column("vmax").to_numpy(zero_copy_only=False)
+    vor = tbl.column("vor").to_numpy(zero_copy_only=False)
+    cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+
+    out: dict[str, tuple[object, int]] = {}
+    for j, job in enumerate(jobs):
+        sel = sk == j
+        c, mx, orr, n = cell[sel], vmax[sel], vor[sel], cnt[sel]
+        kind = job.spec.kind
+        if kind == "hll":
+            regs = np.zeros(job.spec.m, dtype=np.uint8)
+            regs[c] = np.minimum(mx, 64 - job.spec.p + 1).astype(np.uint8)
+            out[job.name] = (HyperLogLog(job.spec, regs), int(n.sum()))
+        elif kind == "bloom":
+            from sketchlib.kernels import BloomFilter
+
+            bits = _words_to_bits(list(zip(c, orr)), job.spec.nbytes)
+            out[job.name] = (
+                BloomFilter(job.spec, bits),
+                int(n.sum()) // job.spec.k,
+            )
+        elif kind == "cbloom":
+            from sketchlib.kernels import CountingBloomFilter
+
+            counters = np.zeros(job.spec.m, dtype=job.spec.dtype)
+            counters[c] = np.minimum(n, job.spec.cap).astype(job.spec.dtype)
+            out[job.name] = (
+                CountingBloomFilter(job.spec, counters),
+                int(n.sum()) // job.spec.k,
+            )
+        elif kind == "cms":
+            w = job.spec.width
+            table = np.zeros((job.spec.depth, w), dtype=np.uint64)
+            table[c // w, c % w] = n.astype(np.uint64)
+            out[job.name] = (
+                CountMinSketch(job.spec, table),
+                int(n.sum()) // job.spec.depth,
+            )
+        elif kind == "tdbloom":
+            from sketchlib.kernels import TdBloomFilter
+
+            if c.size:
+                if mx.min() < 1:
+                    raise ValueError("ts earlier than spec.start_time")
+                if mx.max() >= 2**31:
+                    raise ValueError("ts span exceeds int32 ticks (>68 years)")
+            ticks = np.zeros(job.spec.m, dtype=np.int32)
+            ticks[c] = mx.astype(np.int32)
+            out[job.name] = (
+                TdBloomFilter(job.spec, ticks),
+                int(n.sum()) // job.spec.k,
+            )
+    return out

@@ -1,0 +1,166 @@
+"""Byte-identity of the pure-Catalyst bloom-family builds (spark/bloom_sql)
+vs the prehash kernel path — same xxhash64 lanes, same KM ladder, same cell
+layout, so serialize() must match bit for bit.  Also covers the declarative
+probes (membership / min-of-k counts) against kernel probes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketchlib.spark import build_sketch, get_spark
+from sketchlib.spark.bloom_sql import (
+    bloom_sql_members,
+    bloom_word_rows,
+    build_bloom_sql,
+    build_cbloom_sql,
+    build_tdbloom_sql,
+    cbloom_cell_rows,
+    cbloom_sql_counts,
+    km_position_cols,
+)
+from sketchlib.specs import BloomSpec, CBloomSpec, TdBloomSpec
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("sketchlib-bloom-sql-tests", cpus=8, shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def kdf(spark):
+    rng = np.random.default_rng(11)
+    keys = [f"conv-{i}" for i in rng.integers(0, 4000, 9000)]
+    # nulls + duplicates + unicode + empty string
+    keys += [None] * 200 + ["", "émoji🚀", "a" * 300] * 5
+    ts = pd.to_datetime(1767225600 + rng.integers(0, 7 * 86400, len(keys)), unit="s")
+    return spark.createDataFrame(pd.DataFrame({"k": keys, "ts": ts}))
+
+
+def test_km_positions_match_kernel_lane(spark, kdf):
+    """The Catalyst ladder reproduces mmh3.positions_from_hashes exactly,
+    including the -1 -> 0 after-wrap quirk, across k and m geometries."""
+    from sketchlib import mmh3
+
+    pdf = (
+        kdf.filter("k is not null")
+        .select(
+            F.xxhash64(F.col("k").cast("string")).alias("h1"),
+            F.xxhash64(
+                F.col("k").cast("string"),
+                F.lit(-7046029254386353131),
+            ).alias("h2"),
+            *[
+                c.alias(f"p{i}")
+                for i, c in enumerate(km_position_cols("k", 9, 95851))
+            ],
+        )
+        .toPandas()
+    )
+    exp = mmh3.positions_from_hashes(
+        pdf["h1"].to_numpy(np.int64), pdf["h2"].to_numpy(np.int64), 9, 95851
+    )
+    got = pdf[[f"p{i}" for i in range(9)]].to_numpy()
+    assert (got == exp).all()
+
+
+def test_bloom_sql_byte_identity(spark, kdf):
+    spec = BloomSpec(5000, 0.01)
+    sql_k = build_bloom_sql(kdf, spec, "k")
+    kern, rows = build_sketch(kdf, spec, key="k", prehash=True)
+    assert rows == kdf.filter("k is not null").count()
+    assert sql_k.serialize() == kern.serialize()
+    assert sql_k.saturation_count() > 0
+
+
+def test_bloom_sql_empty_and_all_null(spark):
+    spec = BloomSpec(1000, 0.01)
+    df = spark.createDataFrame(pd.DataFrame({"k": pd.array([None, None], dtype="string")}))
+    assert build_bloom_sql(df, spec, "k").saturation_count() == 0
+    assert build_bloom_sql(df.limit(0), spec, "k").saturation_count() == 0
+
+
+def test_bloom_sql_members_matches_kernel_probe(spark, kdf):
+    spec = BloomSpec(5000, 0.001)
+    words = bloom_word_rows(kdf, spec, "k")
+    kern, _ = build_sketch(kdf, spec, key="k", prehash=True)
+    probes = spark.createDataFrame(
+        pd.DataFrame({"k": [f"conv-{i}" for i in range(0, 8000, 7)] + ["émoji🚀", "nope"]})
+    )
+    got = {
+        r["k"]: r["member"]
+        for r in bloom_sql_members(words, probes, spec, "k").collect()
+    }
+    from sketchlib.spark import probe
+
+    exp = {
+        r["k"]: r["hit"]
+        for r in probes.withColumn(
+            "hit", probe.probe_column(spark, kern, "k", prehash=True)
+        ).collect()
+    }
+    assert got == exp
+    assert got["émoji🚀"] is True and got["nope"] is False
+
+
+def test_cbloom_sql_byte_identity(spark, kdf):
+    for bits in (4, 16):
+        spec = CBloomSpec(5000, 0.01, counter_bits=bits)
+        sql_k = build_cbloom_sql(kdf, spec, "k")
+        kern, _ = build_sketch(kdf, spec, key="k", prehash=True)
+        assert sql_k.serialize() == kern.serialize(), f"counter_bits={bits}"
+
+
+def test_cbloom_sql_saturation_cap(spark):
+    # 4-bit counters cap at 15: 40 adds of one key must land exactly at cap
+    spec = CBloomSpec(100, 0.01, counter_bits=4)
+    df = spark.createDataFrame(pd.DataFrame({"k": ["hot"] * 40 + ["cold"]}))
+    sql_k = build_cbloom_sql(df, spec, "k")
+    kern, _ = build_sketch(df, spec, key="k", prehash=True)
+    assert sql_k.serialize() == kern.serialize()
+    cells = cbloom_cell_rows(df, spec, "k")
+    assert cells.agg(F.max("cnt")).first()[0] == 15
+
+
+def test_cbloom_sql_counts_never_undercount(spark, kdf):
+    spec = CBloomSpec(5000, 0.01)
+    cells = cbloom_cell_rows(kdf, spec, "k")
+    truth = (
+        kdf.filter("k is not null").groupBy("k").count().toPandas()
+        .set_index("k")["count"]
+    )
+    got = cbloom_sql_counts(cells, kdf, spec, "k").toPandas().set_index("k")["cnt"]
+    assert (got.loc[truth.index] >= truth).all()
+
+
+def test_tdbloom_sql_byte_identity(spark, kdf):
+    spec = TdBloomSpec(5000, 0.01, timeout=86400, start_time=1767225600)
+    sql_k = build_tdbloom_sql(kdf, spec, "k", ts="ts")
+    kern, _ = build_sketch(kdf, spec, key="k", ts="ts", prehash=True)
+    assert sql_k.serialize() == kern.serialize()
+    assert (sql_k.ticks > 0).any()
+
+
+def test_tdbloom_sql_rejects_pre_epoch_ts(spark):
+    spec = TdBloomSpec(100, 0.01, timeout=3600, start_time=1767225600)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ts": pd.to_datetime([1767225600 - 50], unit="s")})
+    )
+    with pytest.raises(ValueError, match="earlier than"):
+        build_tdbloom_sql(df, spec, "k", ts="ts")
+
+
+def test_bloom_sql_merges_with_prehash_kernel_build(spark, kdf):
+    """SQL-built and prehash-kernel-built halves merge into the same state
+    as a single build over the union — the cross-path compatibility the
+    module promises."""
+    spec = BloomSpec(5000, 0.01)
+    half1 = kdf.filter(F.crc32(F.col("k").cast("string")) % 2 == 0)
+    half2 = kdf.filter(F.crc32(F.col("k").cast("string")) % 2 == 1)
+    a = build_bloom_sql(half1, spec, "k")
+    b, _ = build_sketch(half2, spec, key="k", prehash=True)
+    whole, _ = build_sketch(kdf, spec, key="k", prehash=True)
+    assert a.merge(b).serialize() == whole.serialize()
