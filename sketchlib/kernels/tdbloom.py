@@ -253,12 +253,18 @@ class TdBloomFilter:
         self.ticks[stale] = 0
         return n
 
-    def saturation(self, as_of: int) -> float:
-        """% of cells live — nonzero and fresh (src/tdbloom.c:255-276)."""
+    def saturation_count(self, as_of: int) -> int:
+        """Number of live cells — nonzero and fresh as of ``as_of``
+        (src/tdbloom.h:117: declared-only TODO in the reference; the count
+        underlying the % variant at src/tdbloom.c:255-276)."""
         T = int(as_of) - self.spec.start_time
         age = np.int64(T) - (self.ticks - 1)
         live = (self.ticks > 0) & (age >= 0) & (age <= self.spec.timeout)
-        return 100.0 * int(np.count_nonzero(live)) / self.m
+        return int(np.count_nonzero(live))
+
+    def saturation(self, as_of: int) -> float:
+        """% of cells live — nonzero and fresh (src/tdbloom.c:255-276)."""
+        return 100.0 * self.saturation_count(as_of) / self.m
 
     def clear(self) -> None:
         self.ticks[:] = 0

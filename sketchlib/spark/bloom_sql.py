@@ -166,12 +166,28 @@ def bloom_word_rows(df: DataFrame, spec: BloomSpec, key) -> DataFrame:
     at most ``ceil(m/64)`` rows regardless of input size (map-side combine
     runs inside whole-stage codegen).  Word w's little-endian bytes are
     bytes ``8w..8w+7`` of the kernel bitmap, bit ``pos&63`` of the word is
-    bit ``pos&7`` of byte ``pos>>3`` — the exact kernel layout."""
+    bit ``pos&7`` of byte ``pos>>3`` — the exact kernel layout.
+
+    The explode is over a PRIMITIVE long array (positions), with word/mask
+    derived post-explode: primitive arrays stay unboxed in UnsafeArrayData,
+    while an array<struct> explode allocates a generic row per entry
+    (measured ~25% slower here and pathologically slow when many such
+    arrays are concatenated)."""
     staged = _staged_positions(df, key, spec.k, spec.m)
+    pos = staged.select(
+        F.explode(
+            F.array(*[F.col(f"__p{i}") for i in range(spec.k)])
+        ).alias("pos")
+    ).filter(F.col("pos").isNotNull())
     return (
-        staged.select(F.explode(_word_mask_entries(spec.k)).alias("e"))
-        .select("e.w", "e.mask")
-        .filter(F.col("w").isNotNull())
+        pos.select(
+            F.shiftrightunsigned("pos", 6).alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                F.col("pos").bitwiseAND(F.lit(63)).cast("int"),
+            ).alias("mask"),
+        )
         .groupBy("w")
         .agg(F.bit_or("mask").alias("word"))
     )

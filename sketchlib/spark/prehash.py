@@ -37,13 +37,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Salt for the second Kirsch-Mitzenmacher lane: h2 = xxhash64(key, SALT).
-# Any fixed constant works; this one is -(2^64/phi) mod 2^64 as a signed
-# int64, chosen once and shared by build + probe.
+# Any fixed constant works; this one is floor(2^64/phi) = 0x9E3779B97F4A7C15
+# (the 64-bit golden-ratio constant) reinterpreted as a signed int64,
+# chosen once and shared by build + probe.
 PREHASH_SALT = -7046029254386353131
+assert PREHASH_SALT == 0x9E3779B97F4A7C15 - (1 << 64)
 
 
 def _as_col(key) -> Column:
     return (F.col(key) if isinstance(key, str) else key).cast("string")
+
+
+def prehash_lane_sql(col: str) -> tuple[str, str]:
+    """The exact SQL text of the two prehash lanes for a column — use these
+    in hand-written SQL (e.g. feeding ``spark/sql_udaf.py`` aggregates) so
+    the states stay merge-compatible with ``SketchJob(prehash=True)`` /
+    ``build_*_sql`` builds.  The ``CAST(... AS STRING)`` is load-bearing:
+    ``prehash_pair`` string-casts before hashing, and a lane built from a
+    raw non-string column is a silently different hash family."""
+    c = f"CAST({col} AS STRING)"
+    return f"xxhash64({c})", f"xxhash64({c}, {PREHASH_SALT}L)"
 
 
 def prehash_pair(key) -> tuple[Column, Column]:

@@ -163,8 +163,19 @@ def count_hashes_column(
     method = "estimate_hashes" if hasattr(kernel, "estimate_hashes") else "count_hashes"
     if not hasattr(kernel, method):
         raise ValueError(f"kind {kernel.spec.kind} has no prehashed count probe")
+    # derive timed-ness from the kernel KIND, not from as_of: a tdcbloom
+    # probed without as_of (or a cms/sbf probed with one) would otherwise
+    # die with an opaque executor-side TypeError inside the pandas UDF
+    timed = kernel.spec.kind in ("tdbloom", "tdcbloom")
+    if timed and as_of is None:
+        raise ValueError(
+            f"time-decaying probes need as_of (kind {kernel.spec.kind})"
+        )
+    if not timed and as_of is not None:
+        raise ValueError(
+            f"as_of given but kind {kernel.spec.kind} is not time-decaying"
+        )
     bc = _broadcast_kernel(spark, kernel)
-    timed = as_of is not None
     as_of_i = int(as_of) if timed else 0
 
     @F.pandas_udf("long")

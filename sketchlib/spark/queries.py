@@ -665,6 +665,10 @@ def q_tdbloom_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k6 = copy.deepcopy(kernel)
     age_ok = bool(k6.age_element_strings([probe_key], age_amount=1)[0])
+    # saturation_count (src/tdbloom.h:117, declared-only TODO in C): the
+    # live-cell count must be the exact integer behind the % variant
+    sc = kernel.saturation_count(t1)
+    sc_ok = sc > 0 and abs(kernel.saturation(t1) - 100.0 * sc / kernel.m) < 1e-9
     return spark.createDataFrame(
         [
             Row(
@@ -678,6 +682,7 @@ def q_tdbloom_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lookup_or_add_stamps=bool(loa_ok),
                 expired_then_reset=bool(exp_ok and reset_ok),
                 age_element_present=bool(age_ok),
+                saturation_count_consistent=bool(sc_ok),
             )
         ]
     )
@@ -1711,7 +1716,8 @@ ORACLES: dict[str, str] = {
                TRUE AS adjust_timeout_reaps,
                TRUE AS lookup_or_add_stamps,
                TRUE AS expired_then_reset,
-               TRUE AS age_element_present
+               TRUE AS age_element_present,
+               TRUE AS saturation_count_consistent
         FROM pu, bounds
     """,
     "cbloom_maintenance_ops": """

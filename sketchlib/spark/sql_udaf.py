@@ -6,17 +6,26 @@ becomes a value you can GROUP BY over —
 
     >>> register_sql_udafs(spark, HllSpec(p=14), "hll")
     >>> spark.sql('''
-    ...   SELECT day, hll_estimate(hll_state(xxhash64(user_id))) AS users
+    ...   SELECT day,
+    ...          hll_estimate(hll_state(xxhash64(CAST(user_id AS STRING))))
+    ...            AS users
     ...   FROM events GROUP BY day
     ... ''')
 
 Design notes:
 
 - **Prehash lanes only.** Aggregates consume the JVM-computed xxhash64
-  lane(s) (``spark/prehash.py``; in SQL: ``xxhash64(col)`` and
-  ``xxhash64(col, <PREHASH_SALT>L)``), so the shuffle moves 8-16 bytes per
-  row, not raw keys, and the Python side never re-hashes.  States are
-  therefore in the prehash family (not mmh3/archbloom-file compatible).
+  lane(s) (``spark/prehash.py``; in SQL: ``xxhash64(CAST(col AS STRING))``
+  and ``xxhash64(CAST(col AS STRING), <PREHASH_SALT>L)`` — use
+  ``prehash.prehash_lane_sql(col)`` to emit these exactly), so the shuffle
+  moves 8-16 bytes per row, not raw keys, and the Python side never
+  re-hashes.  States are therefore in the prehash family (not
+  mmh3/archbloom-file compatible).  The ``CAST(... AS STRING)`` is
+  LOAD-BEARING for cross-path merges: ``prehash_pair`` string-casts before
+  hashing, so a lane built from a raw int column would be a silently
+  different hash family than ``SketchJob(prehash=True)`` /
+  ``build_*_sql`` states — merging the two yields wrong estimates with no
+  error.  (For string columns the cast is a no-op either way.)
 - **Scale shape.** A pandas GROUPED_AGG UDAF has no partial-aggregation
   step: Spark shuffles the (hash-lane) rows of each group to one task.
   With int64 lanes that is the same traffic as an exact

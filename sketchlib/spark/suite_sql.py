@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sketchlib.kernels import CountMinSketch, HyperLogLog
@@ -54,7 +54,6 @@ from sketchlib.spark.agg import SketchJob
 from sketchlib.spark.bloom_sql import (
     _pos_expr,
     _tick_col,
-    _word_mask_entries,
     _words_to_bits,
     build_bloom_sql,
     build_cbloom_sql,
@@ -132,128 +131,118 @@ def build_sketch_sql(df: DataFrame, spec, key, ts: str = "ts"):
 # the single-pass suite
 # ---------------------------------------------------------------------------
 
-def suite_cell_rows(df: DataFrame, jobs: list[SketchJob]) -> DataFrame:
-    """The whole suite's merged state as ONE tagged aggregation
-    ``(sk int, cell bigint, vmax bigint, vor bigint, cnt bigint)`` — one
-    scan, one explode, one shuffle of ≤ Σ-sketch-cells rows.  Three staged
-    projections keep generated code small (hash lanes, then positions,
-    then entries — see bloom_sql._staged_positions for why the aliases are
-    load-bearing)."""
-    lane_cols: list[Column] = []
-    pos_cols: list[Column] = []
-    entry_arrays: list[Column] = []
+def _job_cells(df: DataFrame, j: int, job: SketchJob) -> DataFrame:
+    """One job's aggregated cell frame, normalized to the suite schema
+    ``(sk int, cell bigint, vmax bigint, vor bigint, cnt bigint)`` — only
+    the aggregate the kind needs is computed (vmax for hll/tdbloom, vor
+    for bloom, cnt everywhere for counters and ingested-row accounting).
+    All explodes are over PRIMITIVE long arrays (see bloom_word_rows)."""
+    kind = job.spec.kind
+    nul = F.lit(None).cast("bigint")
+    sk = F.lit(j).alias("sk")
 
-    for j, job in enumerate(jobs):
-        kind = job.spec.kind
-        if kind not in _SUPPORTED:
-            raise ValueError(
-                f"job {job.name!r}: no declarative build for kind {kind!r}; "
-                f"supported: {_SUPPORTED}"
-            )
-        h1, h2 = prehash_pair(job.key)
-        lane_cols.append(h1.alias(f"__h1_{j}"))
-        if kind != "hll":
-            lane_cols.append(h2.alias(f"__h2_{j}"))
-        if kind == "tdbloom":
-            lane_cols.append(_tick_col(job.spec, job.ts).alias(f"__tick_{j}"))
-
-        sk = F.lit(j)
-        if kind == "hll":
-            idx, rho = idx_rho_from_hash(F.col(f"__h1_{j}"), job.spec.p)
-            pos_cols.append(idx.alias(f"__idx_{j}"))
-            pos_cols.append(rho.alias(f"__rho_{j}"))
-            entry_arrays.append(
-                F.array(
-                    F.struct(
-                        sk.alias("sk"),
-                        F.col(f"__idx_{j}").alias("cell"),
-                        F.col(f"__rho_{j}").alias("v"),
-                    )
-                )
-            )
-            continue
-
-        k = job.spec.depth if kind == "cms" else job.spec.k
-        m = job.spec.width if kind == "cms" else job.spec.m
-        for i in range(k):
-            pos_cols.append(
-                _pos_expr(F.col(f"__h1_{j}"), F.col(f"__h2_{j}"), i, m).alias(
-                    f"__p_{j}_{i}"
-                )
-            )
-        if kind == "bloom":
-            entries = []
-            for i in range(k):
-                p = F.col(f"__p_{j}_{i}")
-                entries.append(
-                    F.struct(
-                        sk.alias("sk"),
-                        F.shiftrightunsigned(p, 6).alias("cell"),
-                        F.call_function(
-                            "shiftleft",
-                            F.lit(1).cast("bigint"),
-                            p.bitwiseAND(F.lit(63)).cast("int"),
-                        ).alias("v"),
-                    )
-                )
-            entry_arrays.append(F.array(*entries))
-        elif kind == "cbloom":
-            entry_arrays.append(
-                F.array(
-                    *[
-                        F.struct(
-                            sk.alias("sk"),
-                            F.col(f"__p_{j}_{i}").alias("cell"),
-                            F.lit(1).cast("bigint").alias("v"),
-                        )
-                        for i in range(k)
-                    ]
-                )
-            )
-        elif kind == "cms":
-            entry_arrays.append(
-                F.array(
-                    *[
-                        F.struct(
-                            sk.alias("sk"),
-                            (F.lit(i * m) + F.col(f"__p_{j}_{i}")).alias("cell"),
-                            F.lit(1).cast("bigint").alias("v"),
-                        )
-                        for i in range(k)
-                    ]
-                )
-            )
-        elif kind == "tdbloom":
-            # null tick (null ts) drops the row, matching the parity build
-            entry_arrays.append(
-                F.array(
-                    *[
-                        F.struct(
-                            sk.alias("sk"),
-                            F.when(
-                                F.col(f"__tick_{j}").isNotNull(),
-                                F.col(f"__p_{j}_{i}"),
-                            ).alias("cell"),
-                            F.col(f"__tick_{j}").alias("v"),
-                        )
-                        for i in range(k)
-                    ]
-                )
-            )
-            pos_cols.append(F.col(f"__tick_{j}"))
-
-    staged = df.select(*lane_cols).select(*pos_cols)
-    return (
-        staged.select(F.explode(F.concat(*entry_arrays)).alias("e"))
-        .select("e.sk", "e.cell", "e.v")
-        .filter(F.col("cell").isNotNull())
-        .groupBy("sk", "cell")
-        .agg(
-            F.max("v").alias("vmax"),
-            F.bit_or("v").alias("vor"),
-            F.count(F.lit(1)).alias("cnt"),
+    if kind == "hll":
+        h1, _ = prehash_pair(job.key)
+        idx, rho = idx_rho_from_hash(F.col("__h1"), job.spec.p)
+        reg = (
+            df.select(h1.alias("__h1"))
+            .select(idx.alias("cell"), rho.alias("v"))
+            .filter(F.col("cell").isNotNull())
+            .groupBy("cell")
+            .agg(F.max("v").alias("vmax"), F.count(F.lit(1)).alias("cnt"))
         )
+        return reg.select(sk, "cell", "vmax", nul.alias("vor"), "cnt")
+
+    h1, h2 = prehash_pair(job.key)
+    k = job.spec.depth if kind == "cms" else job.spec.k
+    m = job.spec.width if kind == "cms" else job.spec.m
+    extra = {}
+    if kind == "tdbloom":
+        extra["__tick"] = _tick_col(job.spec, job.ts)
+    staged = df.select(
+        h1.alias("__h1"), h2.alias("__h2"), *[c.alias(n) for n, c in extra.items()]
+    ).select(
+        *[
+            _pos_expr(F.col("__h1"), F.col("__h2"), i, m).alias(f"__p{i}")
+            for i in range(k)
+        ],
+        *[F.col(n) for n in extra],
     )
+    arr = F.array(*[F.col(f"__p{i}") for i in range(k)])
+
+    if kind == "bloom":
+        pos = staged.select(F.explode(arr).alias("pos")).filter(
+            F.col("pos").isNotNull()
+        )
+        words = (
+            pos.select(
+                F.shiftrightunsigned("pos", 6).alias("cell"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    F.col("pos").bitwiseAND(F.lit(63)).cast("int"),
+                ).alias("mask"),
+            )
+            .groupBy("cell")
+            .agg(F.bit_or("mask").alias("vor"), F.count(F.lit(1)).alias("cnt"))
+        )
+        return words.select(sk, "cell", nul.alias("vmax"), "vor", "cnt")
+
+    if kind == "cbloom":
+        cells = (
+            staged.select(F.explode(arr).alias("cell"))
+            .filter(F.col("cell").isNotNull())
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return cells.select(sk, "cell", nul.alias("vmax"), nul.alias("vor"), "cnt")
+
+    if kind == "cms":
+        cells = (
+            staged.select(F.posexplode(arr).alias("i", "pos"))
+            .filter(F.col("pos").isNotNull())
+            .select((F.col("i").cast("bigint") * m + F.col("pos")).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return cells.select(sk, "cell", nul.alias("vmax"), nul.alias("vor"), "cnt")
+
+    # tdbloom: null tick (null ts) drops the row, matching the parity build
+    cells = (
+        staged.filter(F.col("__tick").isNotNull())
+        .select(F.explode(arr).alias("cell"), F.col("__tick").alias("v"))
+        .filter(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .agg(F.max("v").alias("vmax"), F.count(F.lit(1)).alias("cnt"))
+    )
+    return cells.select(sk, "cell", "vmax", nul.alias("vor"), "cnt")
+
+
+def suite_cell_rows(df: DataFrame, jobs: list[SketchJob]) -> DataFrame:
+    """The whole suite's merged state as one tagged frame
+    ``(sk int, cell bigint, vmax bigint, vor bigint, cnt bigint)`` — a
+    union of per-job aggregations evaluated in a single action.
+
+    Deliberately NOT one giant shared groupBy over a concatenated entry
+    array: that shape (measured) runs ~8x slower — the 20+-element
+    array<struct> per row allocates generic rows at explode time and the
+    single mixed-cardinality hash aggregate computes three aggregate
+    buffers for every entry.  Per-kind branches keep each explode
+    primitive, each aggregate minimal, and each hash table
+    single-cardinality; the scan repeats per branch but is the cheap part
+    (the JVM control prices scan+hash at ~5% of suite time)."""
+    branches = []
+    for j, job in enumerate(jobs):
+        if job.spec.kind not in _SUPPORTED:
+            raise ValueError(
+                f"job {job.name!r}: no declarative build for kind "
+                f"{job.spec.kind!r}; supported: {_SUPPORTED}"
+            )
+        branches.append(_job_cells(df, j, job))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def run_suite_sql(df: DataFrame, jobs: list[SketchJob]) -> int:
@@ -271,11 +260,16 @@ def build_suite_sql(
     parity endpoint: returns {job.name: (kernel, rows_ingested)} with each
     kernel byte-identical to ``build_many(df, jobs, prehash=True)``.  The
     collect is state-sized (Σ sketch cells), never data-sized."""
+    import pyarrow.compute as pc
+
     tbl = suite_cell_rows(df, jobs).toArrow()
     sk = tbl.column("sk").to_numpy(zero_copy_only=False)
     cell = tbl.column("cell").to_numpy(zero_copy_only=False)
-    vmax = tbl.column("vmax").to_numpy(zero_copy_only=False)
-    vor = tbl.column("vor").to_numpy(zero_copy_only=False)
+    # fill_null BEFORE to_numpy: the union leaves each kind's unused
+    # aggregate columns null, and a nullable int64 column converts to
+    # float64 — which silently corrupts 64-bit bitmap words
+    vmax = pc.fill_null(tbl.column("vmax"), 0).to_numpy(zero_copy_only=False)
+    vor = pc.fill_null(tbl.column("vor"), 0).to_numpy(zero_copy_only=False)
     cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
 
     out: dict[str, tuple[object, int]] = {}

@@ -241,3 +241,33 @@ def test_prehash_differs_from_mmh3_state(spark, df):
     pre, _ = build_sketch(df, spec, key="user", prehash=True)
     par, _ = build_sketch(df, spec, key="user")
     assert pre.serialize() != par.serialize()
+
+
+def test_count_hashes_column_as_of_validation(spark):
+    """Timed-ness comes from the kernel KIND: a tdcbloom probe without
+    as_of (or a cms probe with one) fails loudly at the driver, not with an
+    opaque executor-side TypeError inside the pandas UDF."""
+    from sketchlib.kernels import CountMinSketch, TdCBloomFilter
+    from sketchlib.specs import CmsSpec, TdCBloomSpec
+
+    cms = CountMinSketch(CmsSpec(epsilon=0.01, delta=0.1))
+    with pytest.raises(ValueError, match="not time-decaying"):
+        probe.count_hashes_column(spark, cms, F.col("x"), as_of=123)
+    td = TdCBloomFilter(TdCBloomSpec(100, 0.01, timeout=60, start_time=0))
+    with pytest.raises(ValueError, match="need as_of"):
+        probe.count_hashes_column(spark, td, F.col("x"))
+
+
+def test_prehash_lane_sql_matches_prehash_pair(spark):
+    """The SQL-text lanes hash identically to prehash_pair over a
+    non-string column — the cross-path merge-compatibility contract."""
+    from sketchlib.spark.prehash import prehash_lane_sql, prehash_pair
+
+    df = spark.range(100).select(F.col("id").alias("user_id"))
+    l1, l2 = prehash_lane_sql("user_id")
+    h1, h2 = prehash_pair("user_id")
+    got = df.select(
+        F.expr(l1).alias("a1"), F.expr(l2).alias("a2"),
+        h1.alias("b1"), h2.alias("b2"),
+    ).collect()
+    assert all(r["a1"] == r["b1"] and r["a2"] == r["b2"] for r in got)

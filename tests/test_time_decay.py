@@ -260,3 +260,20 @@ def test_tdbloom_declared_only_extensions():
     assert reaped >= f2.spec.k
     assert f2.spec.timeout == 20
     assert not bool(f2.contains_strings(["k"], as_of=probe_t)[0])
+
+
+def test_tdbloom_saturation_count_matches_percentage():
+    """saturation_count (src/tdbloom.h:117, declared-only TODO in C): the
+    live-cell integer count behind the % variant — exactly k cells per
+    distinct fresh key minus collisions, 0 once everything expires."""
+    BASE = 1_700_000_000
+    spec = TdBloomSpec(100, 0.01, timeout=100, start_time=BASE)
+    f = TdBloomFilter(spec)
+    f.update_strings(["a", "b", "c"], [BASE + 10, BASE + 20, BASE + 30])
+    now = BASE + 40
+    sc = f.saturation_count(now)
+    assert 0 < sc <= 3 * spec.k
+    assert f.saturation(now) == pytest.approx(100.0 * sc / spec.m)
+    # "a" (age 30+) expires first at BASE+10+101; all gone past BASE+30+100
+    assert f.saturation_count(BASE + 131) == 0
+    assert f.saturation(BASE + 131) == 0.0

@@ -72,6 +72,52 @@ print("RESULT " + json.dumps({"cpus": cpus, "rows": n, "suite_sec": best,
 """
 
 
+CHILD_SQL = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from sketchlib.spark import get_spark
+from sketchlib.spark.agg import SketchJob
+from sketchlib.spark.suite_sql import run_suite_sql
+from sketchlib.specs import BloomSpec, CmsSpec, HllSpec, TdBloomSpec
+
+cpus, path = int(sys.argv[1]), sys.argv[2]
+spark = get_spark(f"scaling-sql-{cpus}", cpus=cpus)
+tr = spark.read.parquet(path)
+n = tr.count()  # warm page cache
+T0 = 1767225600
+# the pure-Catalyst suite (spark/suite_sql.py): identical sketch geometry
+# and hash family to the prehash CHILD above, but the whole dataflow is
+# whole-stage codegen + one hash aggregate - zero Python, so it should
+# scale like the JVM-only control.  Endpoint = fully-merged distributed
+# cell state (count action); driver kernel materialization is a
+# state-sized constant measured separately in bench.py.
+jobs = [
+    SketchJob("hll_conv", HllSpec(p=14), key="conv_id", prehash=True),
+    SketchJob("hll_conv_tool", HllSpec(p=14),
+              key=F.concat_ws("\x00", F.col("conv_id"), F.col("tool")),
+              prehash=True),
+    SketchJob("bloom_text", BloomSpec(max(n, 1000), 0.01), key="text",
+              prehash=True),
+    SketchJob("cms_tool", CmsSpec(epsilon=0.0005, delta=0.01), key="tool",
+              prehash=True),
+    SketchJob("td_conv", TdBloomSpec(100_000, 0.001, timeout=7*86400,
+                                     start_time=T0), key="conv_id", ts="ts",
+              prehash=True),
+]
+run_suite_sql(tr, jobs)  # warm: JIT, codegen cache, parquet footers
+times = []
+reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+for _ in range(reps):
+    t0 = time.perf_counter()
+    run_suite_sql(tr, jobs)
+    times.append(round(time.perf_counter() - t0, 3))
+best = min(times)
+print("RESULT " + json.dumps({"cpus": cpus, "rows": n, "suite_sec": best,
+                              "turns_per_sec": round(n / best), "samples": times}))
+"""
+
+
 CHILD_JVM = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
@@ -117,15 +163,19 @@ def run_level(cpus: int, path: str, reps: int = 5, child: str = None) -> dict:
     raise RuntimeError(f"no RESULT from cpus={cpus}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def run_level_interleaved(levels: list[tuple[int, str]], rounds: int = 3, reps: int = 2) -> list[dict]:
+def run_level_interleaved(
+    levels: list[tuple], rounds: int = 3, reps: int = 2
+) -> list[dict]:
     """Alternate the levels across separate JVM rounds so a tenant burst in
     one time window cannot poison exactly one level (a sequential design
-    measured 7.5s and 116s for the same level minutes apart).  Returns the
+    measured 7.5s and 116s for the same level minutes apart).  Each level
+    is ``(cpus, path)`` or ``(cpus, path, child_script)``.  Returns the
     per-level best across rounds."""
     best: list[dict | None] = [None] * len(levels)
     for _ in range(rounds):
-        for i, (cpus, path) in enumerate(levels):
-            r = run_level(cpus, path, reps)
+        for i, lvl in enumerate(levels):
+            cpus, path, child = (*lvl, None)[:3]
+            r = run_level(cpus, path, reps, child=child)
             if best[i] is None or r["suite_sec"] < best[i]["suite_sec"]:
                 samples = (best[i] or {}).get("samples", []) + r["samples"]
                 r["samples"] = samples
@@ -149,8 +199,18 @@ def main() -> None:
     big = ensure_data(300_000)   # ~9.0M turns
     small = ensure_data(75_000)  # ~2.25M turns (≈ big/4)
 
-    strong_lo, strong_hi, weak_lo = run_level_interleaved(
-        [(2, big), (8, big), (2, small)]
+    sqlc = CHILD_SQL
+    strong_lo, strong_hi, weak_lo, sql_lo, sql_hi, sql_weak_lo = (
+        run_level_interleaved(
+            [
+                (2, big),
+                (8, big),
+                (2, small),
+                (2, big, sqlc),
+                (8, big, sqlc),
+                (2, small, sqlc),
+            ]
+        )
     )
     # JVM-only control: the prehash build's codegen half (scan + xxhash64 +
     # hash-aggregate, zero Python) at the same two levels — its efficiency
@@ -179,13 +239,15 @@ def main() -> None:
         ).stdout.strip()
     except Exception:  # noqa: BLE001
         head = "unknown"
-    MODE = "prehash"
-    for name, res in (
-        ("strong_lo", strong_lo),
-        ("strong_hi", strong_hi),
-        ("weak_lo", weak_lo),
-        ("jvm_lo", jvm_lo),
-        ("jvm_hi", jvm_hi),
+    for name, res, MODE in (
+        ("strong_lo", strong_lo, "prehash"),
+        ("strong_hi", strong_hi, "prehash"),
+        ("weak_lo", weak_lo, "prehash"),
+        ("jvm_lo", jvm_lo, "prehash"),
+        ("jvm_hi", jvm_hi, "prehash"),
+        ("sql_strong_lo", sql_lo, "sql"),
+        ("sql_strong_hi", sql_hi, "sql"),
+        ("sql_weak_lo", sql_weak_lo, "sql"),
     ):
         h = hist.setdefault(name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE})
         if (
@@ -210,6 +272,8 @@ def main() -> None:
     strong_eff = (strong_lo["suite_sec"] / strong_hi["suite_sec"]) / 4
     weak_eff = weak_lo["suite_sec"] / strong_hi["suite_sec"]
     jvm_eff = (jvm_lo["suite_sec"] / jvm_hi["suite_sec"]) / 4
+    sql_strong_eff = (sql_lo["suite_sec"] / sql_hi["suite_sec"]) / 4
+    sql_weak_eff = sql_weak_lo["suite_sec"] / sql_hi["suite_sec"]
     tps_ratio = strong_hi["turns_per_sec"] / weak_lo["turns_per_sec"]
     strong_eff_head = (
         strong_lo["suite_sec_this_head"] / strong_hi["suite_sec_this_head"]
@@ -220,6 +284,10 @@ def main() -> None:
                    "efficiency_this_head": round(strong_eff_head, 3), "head": head},
         "weak": {"low": weak_lo, "high": strong_hi, "efficiency": round(weak_eff, 3),
                  "throughput_ratio_4N_vs_N": round(tps_ratio, 2)},
+        "sql_strong": {"low": sql_lo, "high": sql_hi,
+                       "efficiency": round(sql_strong_eff, 3)},
+        "sql_weak": {"low": sql_weak_lo, "high": sql_hi,
+                     "efficiency": round(sql_weak_eff, 3)},
         "jvm_control": {"low": jvm_lo, "high": jvm_hi,
                         "efficiency": round(jvm_eff, 3)},
     }
@@ -244,11 +312,22 @@ columns cross to Python; sketchlib/spark/prehash.py).  The mmh3-parity mode
 
 | regime | N | 4N | t_N | t_4N | turns/s N | turns/s 4N | efficiency |
 |---|---|---|---|---|---|---|---|
-| strong ({strong_lo['rows']:,} turns both) | local[2] | local[8] | {strong_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {strong_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{strong_eff:.3f}** |
-| weak ({weak_lo['rows']:,} vs {strong_hi['rows']:,} turns) | local[2] | local[8] | {weak_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {weak_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{weak_eff:.3f}** |
+| **SQL suite, strong** ({sql_lo['rows']:,} turns both; pure-Catalyst, zero Python — spark/suite_sql.py, the flagship) | local[2] | local[8] | {sql_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_strong_eff:.3f}** |
+| **SQL suite, weak** ({sql_weak_lo['rows']:,} vs {sql_hi['rows']:,} turns) | local[2] | local[8] | {sql_weak_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_weak_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_weak_eff:.3f}** |
+| prehash kernel suite, strong ({strong_lo['rows']:,} turns both) | local[2] | local[8] | {strong_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {strong_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{strong_eff:.3f}** |
+| prehash kernel suite, weak ({weak_lo['rows']:,} vs {strong_hi['rows']:,} turns) | local[2] | local[8] | {weak_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {weak_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{weak_eff:.3f}** |
 | JVM-only control (scan+xxhash64+agg, zero Python) | local[2] | local[8] | {jvm_lo['suite_sec']} s | {jvm_hi['suite_sec']} s | {jvm_lo['turns_per_sec']:,} | {jvm_hi['turns_per_sec']:,} | **{jvm_eff:.3f}** |
 
-raw samples: N-strong {strong_lo['samples']}, 4N {strong_hi['samples']}, N-weak {weak_lo['samples']}
+The SQL suite builds the identical five sketches (same specs, same xxhash64
+hash family, kernels byte-identical to the prehash build — property-tested)
+but the whole dataflow is whole-stage codegen + one hash aggregate; its
+endpoint is the fully-merged distributed cell state (the realistic cluster
+endpoint — a 100-TB job writes cell frames to a store or probes them via
+broadcast joins; driver kernel materialization is a state-sized constant,
+measured in bench.py).  The prehash kernel suite rides the mapInArrow
+crossing, whose fixed per-stream cost floors its single-box scaling.
+
+raw samples: SQL N {sql_lo['samples']}, SQL 4N {sql_hi['samples']}, N-strong {strong_lo['samples']}, 4N {strong_hi['samples']}, N-weak {weak_lo['samples']}
 
 Sample history is keyed by git HEAD in BENCH/scaling_samples.json (by_head);
 this run (HEAD {head}) measured strong-efficiency {strong_eff_head:.3f} from
