@@ -45,6 +45,7 @@ import/export is header plumbing plus two documented C defects:
 from __future__ import annotations
 
 import struct
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -244,3 +245,173 @@ def import_file(path: str, **kw):
     if magic not in _IMPORTERS:
         raise InvalidFilterFile(f"{path}: unknown magic {magic!r}")
     return _IMPORTERS[magic][1](path, **kw)
+
+
+# -- cuckoo (native C layout) --------------------------------------------
+# The reference's cuckoo_save/cuckoo_load (src/cuckoo.c:205-301) have no
+# magic: the file is the raw in-memory struct (src/cuckoo.h:18-27, x86-64
+# layout: two heap pointers land in the file and are ignored by the C
+# loader) followed by num_buckets*bucket_size uint32 fingerprint slots and
+# num_buckets size_t insertion counters.  The C loader's only sanity check
+# is the exact-file-size formula, reproduced here.
+_CUCKOO_HDR = struct.Struct("<QQQQQQQI4x")  # bucketsPtr nb bs kicks total insPtr evict prng
+
+
+@dataclass
+class CuckooNativeFile:
+    """A reference-format cuckoo filter: the migration surface for files
+    created by the C implementation.
+
+    This is DELIBERATELY not sketchlib's corrected ``CuckooFilter``: the C
+    filter's fingerprints come from ``mmh3_32`` low bits with the defects
+    SURVEY.md §2.6 documents (fp==0 indistinguishable from empty, lookup
+    partner ``i1 ^ (fp>>1)`` vs eviction partner ``index ^ fp`` mismatch,
+    ~0.77 FPR at the defaults) — a table populated under those semantics
+    can only be queried under those semantics.  This class reproduces them
+    faithfully (add/lookup/remove), so a C user can import, query, extend
+    and re-export their files byte-compatibly; new filters should use the
+    corrected ``kernels/cuckoo.py`` instead."""
+
+    num_buckets: int
+    bucket_size: int
+    max_kicks: int
+    total_insertions: int
+    evictions: int
+    prng_state: int
+    fingerprints: np.ndarray  # (num_buckets, bucket_size) uint32
+    bucket_insertions: np.ndarray  # (num_buckets,) uint64
+
+    @classmethod
+    def create(
+        cls, num_buckets: int, bucket_size: int = 4, max_kicks: int = 500,
+        prng_seed: int = 0x9E3779B9,
+    ) -> "CuckooNativeFile":
+        return cls(
+            num_buckets, bucket_size, max_kicks, 0, 0, prng_seed & 0xFFFFFFFF,
+            np.zeros((num_buckets, bucket_size), dtype=np.uint32),
+            np.zeros(num_buckets, dtype=np.uint64),
+        )
+
+    # -- the C hash scheme (src/cuckoo.c:89-93,134-138) -------------------
+    def _fp_i1_i2(self, keys: list[bytes | str]):
+        from sketchlib import mmh3
+
+        data, off = mmh3.pack_strings(keys)
+        h = mmh3.mmh3_x86_32(data, off, 0).astype(np.uint64)
+        fp = (h & np.uint64(0xFFFF)).astype(np.int64)
+        i1 = (h % np.uint64(self.num_buckets)).astype(np.int64)
+        i2 = ((i1.astype(np.uint64) ^ (fp.astype(np.uint64) >> np.uint64(1)))
+              % np.uint64(self.num_buckets)).astype(np.int64)
+        return fp, i1, i2
+
+    def _xorshift32(self) -> int:
+        x = self.prng_state
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        self.prng_state = x
+        return x
+
+    def _place(self, idx: int, fp: int) -> bool:
+        row = self.fingerprints[idx]
+        empty = np.nonzero(row == 0)[0]
+        if empty.size:
+            row[empty[0]] = fp
+            self.bucket_insertions[idx] += 1
+            self.total_insertions += 1
+            return True
+        return False
+
+    def add_strings(self, keys: list[bytes | str]) -> np.ndarray:
+        """C ``cuckoo_add`` semantics per key, including the eviction walk
+        whose partner index ``index ^ fp`` disagrees with the lookup's
+        ``i1 ^ (fp>>1)`` (the reference defect — kept, because files must
+        stay interchangeable with the C binary)."""
+        fps, i1s, i2s = self._fp_i1_i2(keys)
+        out = np.zeros(len(fps), dtype=bool)
+        for n, (fp, i1, i2) in enumerate(zip(fps, i1s, i2s)):
+            fp, i1, i2 = int(fp), int(i1), int(i2)
+            if self._place(i1, fp) or self._place(i2, fp):
+                out[n] = True
+                continue
+            index = i1 if (self._xorshift32() % 2) else i2
+            for _ in range(self.max_kicks):
+                b = self._xorshift32() % self.bucket_size
+                evicted = int(self.fingerprints[index, b])
+                self.fingerprints[index, b] = fp
+                fp = evicted
+                if self.bucket_insertions[index] > 0:
+                    self.bucket_insertions[index] -= 1
+                index = (index ^ fp) % self.num_buckets
+                if self._place(index, fp):
+                    out[n] = True
+                    break
+            else:
+                self.evictions += 1
+        return out
+
+    def contains_strings(self, keys: list[bytes | str]) -> np.ndarray:
+        """Vectorized C ``cuckoo_lookup``: fp present in bucket i1 or i2."""
+        fps, i1s, i2s = self._fp_i1_i2(keys)
+        hit1 = (self.fingerprints[i1s] == fps[:, None]).any(axis=1)
+        hit2 = (self.fingerprints[i2s] == fps[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def remove_strings(self, keys: list[bytes | str]) -> np.ndarray:
+        """C ``cuckoo_remove``: clear the first matching slot in i1 then i2."""
+        fps, i1s, i2s = self._fp_i1_i2(keys)
+        out = np.zeros(len(fps), dtype=bool)
+        for n, (fp, i1, i2) in enumerate(zip(fps, i1s, i2s)):
+            for idx in (int(i1), int(i2)):
+                row = self.fingerprints[idx]
+                hit = np.nonzero(row == int(fp))[0]
+                if hit.size:
+                    row[hit[0]] = 0
+                    if self.bucket_insertions[idx] > 0:
+                        self.bucket_insertions[idx] -= 1
+                    if self.total_insertions > 0:
+                        self.total_insertions -= 1
+                    out[n] = True
+                    break
+        return out
+
+    def load_factor(self) -> float:
+        """C ``cuckoo_load_factor`` (src/cuckoo.c:199-202): insertion
+        counter over capacity — inherits the reference's by-value counter
+        bug only across its own save/load, not here."""
+        return 100.0 * self.total_insertions / (self.num_buckets * self.bucket_size)
+
+
+def cuckoo_native_export(state: CuckooNativeFile, path: str) -> None:
+    """Write a file ``cuckoo_load`` (src/cuckoo.c:235-301) accepts: raw
+    struct header (pointer fields zeroed — the C loader ignores them),
+    fingerprint slots, per-bucket insertion counters."""
+    hdr = _CUCKOO_HDR.pack(
+        0, state.num_buckets, state.bucket_size, state.max_kicks,
+        state.total_insertions, 0, state.evictions, state.prng_state,
+    )
+    with open(path, "wb") as f:
+        f.write(hdr)
+        f.write(np.ascontiguousarray(state.fingerprints, dtype="<u4").tobytes())
+        f.write(np.ascontiguousarray(state.bucket_insertions, dtype="<u8").tobytes())
+
+
+def cuckoo_native_import(path: str) -> CuckooNativeFile:
+    """Read a C-created cuckoo filter file, applying the C loader's own
+    exact-file-size sanity check (src/cuckoo.c:259-270)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if len(raw) < _CUCKOO_HDR.size:
+        raise InvalidFilterFile(f"{path}: truncated cuckoo header")
+    (_bptr, nb, bs, kicks, total, _iptr, evict, prng) = _CUCKOO_HDR.unpack_from(raw)
+    expected = _CUCKOO_HDR.size + nb * bs * 4 + nb * 8
+    if len(raw) != expected:
+        raise InvalidFilterFile(
+            f"{path}: size {len(raw)} != expected {expected} for geometry "
+            f"({nb} buckets x {bs})"
+        )
+    off = _CUCKOO_HDR.size
+    fps = np.frombuffer(raw, dtype="<u4", count=nb * bs, offset=off).reshape(nb, bs).copy()
+    ins = np.frombuffer(raw, dtype="<u8", count=nb, offset=off + nb * bs * 4).copy()
+    return CuckooNativeFile(int(nb), int(bs), int(kicks), int(total), int(evict),
+                            int(prng), fps, ins)

@@ -273,11 +273,20 @@ def q_archbloom_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the C on-disk format, re-import, and probe — the file-round-tripped
     filter must answer exactly like the in-memory one (byte-identical
     bitmap; geometry chosen with m % 8 == 0 so the C truncated-bitmap size
-    is lossless), which at p=1e-6 equals the exact semi-join."""
+    is lossless), which at p=1e-6 equals the exact semi-join.  Also
+    round-trips a cuckoo filter through the reference's raw-struct layout
+    (src/cuckoo.c:205-301, formats.CuckooNativeFile): export → import must
+    preserve the fingerprint table, counters and every lookup."""
     import os
     import tempfile
 
-    from sketchlib.formats import bloom_export, bloom_import
+    from sketchlib.formats import (
+        CuckooNativeFile,
+        bloom_export,
+        bloom_import,
+        cuckoo_native_export,
+        cuckoo_native_import,
+    )
 
     events = _read(spark, sf_dir, "events")
     members = events.filter(F.col("event_type") == "purchase")
@@ -296,12 +305,30 @@ def q_archbloom_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         os.unlink(path)
+    # cuckoo native-layout round-trip over the same member keys
+    ck = CuckooNativeFile.create(4096, 4, 500)
+    member_keys = [str(r["user_id"]) for r in members.select("user_id").distinct().collect()]
+    ck.add_strings(member_keys)
+    fd, cpath = tempfile.mkstemp(suffix=".cuckoo")
+    os.close(fd)
+    try:
+        cuckoo_native_export(ck, cpath)
+        ck2 = cuckoo_native_import(cpath)
+        ck_ok = (
+            bool(np.array_equal(ck2.fingerprints, ck.fingerprints))
+            and bool(np.array_equal(ck2.bucket_insertions, ck.bucket_insertions))
+            and ck2.total_insertions == ck.total_insertions
+            and bool(ck2.contains_strings(member_keys).all())
+        )
+    finally:
+        os.unlink(cpath)
     return (
         events.withColumn("hit", probe.probe_column(spark, back, "user_id"))
         .filter("hit")
         .select("user_id")
         .distinct()
         .withColumn("file_roundtrip_identical", F.lit(identical))
+        .withColumn("cuckoo_native_roundtrip", F.lit(bool(ck_ok)))
     )
 
 
@@ -1625,7 +1652,9 @@ ORACLES: dict[str, str] = {
         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
     "archbloom_file_roundtrip": """
-        SELECT DISTINCT user_id, TRUE AS file_roundtrip_identical
+        SELECT DISTINCT user_id,
+               TRUE AS file_roundtrip_identical,
+               TRUE AS cuckoo_native_roundtrip
         FROM events
         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
     """,

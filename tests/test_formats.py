@@ -191,3 +191,130 @@ def test_live_c_loads_sketchlib_export(tmp_path):
         [str(exe), p, "alpha", "beta", "nope"], capture_output=True, text=True, check=True
     )
     assert r.stdout == "110"
+
+
+# -- cuckoo native C layout ----------------------------------------------
+
+def _cuckoo_golden():
+    import json
+
+    d = os.path.join(os.path.dirname(__file__), "golden")
+    with open(os.path.join(d, "golden_cuckoo.json")) as f:
+        meta = json.load(f)
+    return os.path.join(d, "golden_cuckoo.bin"), meta
+
+
+def test_cuckoo_native_import_matches_c_lookups():
+    """A C-created cuckoo file (reference binary, deterministic PRNG seed)
+    imports with the right geometry, and contains_strings reproduces the C
+    binary's own lookup results bit for bit — including the removed key."""
+    from sketchlib.formats import cuckoo_native_import
+
+    path, meta = _cuckoo_golden()
+    st = cuckoo_native_import(path)
+    assert (st.num_buckets, st.bucket_size, st.max_kicks) == (
+        meta["num_buckets"], meta["bucket_size"], meta["max_kicks"]
+    )
+    # by-value defect (src/cuckoo.c:89 takes cf by value): the C binary's
+    # total_insertions/evictions increments are lost before save
+    assert st.total_insertions == 0
+    keys = [f"key-{i}" for i in range(200)]
+    got = "".join("1" if b else "0" for b in st.contains_strings(keys))
+    assert got == meta["lookups_key_0_199"]
+    assert not st.contains_strings(["key-3"])[0]
+
+
+def test_cuckoo_native_roundtrip_bytes(tmp_path):
+    """import -> export reproduces the C file byte-for-byte outside the
+    pointer fields (heap addresses the C loader ignores)."""
+    from sketchlib.formats import cuckoo_native_export, cuckoo_native_import
+
+    path, _ = _cuckoo_golden()
+    orig = bytearray(open(path, "rb").read())
+    out = str(tmp_path / "rt.bin")
+    cuckoo_native_export(cuckoo_native_import(path), out)
+    got = bytearray(open(out, "rb").read())
+    for buf in (orig, got):
+        buf[0:8] = b"\0" * 8    # buckets pointer
+        buf[40:48] = b"\0" * 8  # bucket_insertions pointer
+    assert got == orig
+    # and it re-imports identically
+    st = cuckoo_native_import(out)
+    assert st.contains_strings(["key-10"])[0]
+
+
+def test_cuckoo_native_python_build_matches_c_table():
+    """Building the same filter in Python under the C semantics (same keys,
+    same deterministic prng seed) yields the identical fingerprint table
+    and per-bucket counters as the C-created golden — true bidirectional
+    interop.  Header counter fields differ where the C binary loses them
+    by value (total_insertions stays 0 in C; Python tracks it)."""
+    from sketchlib.formats import CuckooNativeFile, cuckoo_native_import
+
+    path, meta = _cuckoo_golden()
+    ours = CuckooNativeFile.create(
+        meta["num_buckets"], meta["bucket_size"], meta["max_kicks"],
+        prng_seed=0x9E3779B9,
+    )
+    added = ours.add_strings([f"key-{i}" for i in range(meta["n_added"])])
+    assert added.all()
+    assert ours.remove_strings(meta["removed"])[0]
+    theirs = cuckoo_native_import(path)
+    assert (ours.fingerprints == theirs.fingerprints).all()
+    assert (ours.bucket_insertions == theirs.bucket_insertions).all()
+    assert ours.total_insertions == meta["n_added"] - len(meta["removed"])
+    assert ours.load_factor() > 0
+
+
+def test_cuckoo_native_size_sanity(tmp_path):
+    from sketchlib.formats import InvalidFilterFile, cuckoo_native_import
+
+    path, _ = _cuckoo_golden()
+    bad = str(tmp_path / "bad.bin")
+    with open(path, "rb") as f, open(bad, "wb") as g:
+        g.write(f.read()[:-4])
+    with pytest.raises(InvalidFilterFile, match="size"):
+        cuckoo_native_import(bad)
+
+
+@pytest.mark.skipif(not HAVE_CC, reason="gcc + reference sources unavailable")
+def test_cuckoo_native_export_accepted_by_live_c(tmp_path):
+    """The C binary loads a Python-exported file and its lookups agree with
+    the Python state — the other interop direction, against freshly
+    compiled reference sources."""
+    from sketchlib.formats import CuckooNativeFile, cuckoo_native_export
+
+    st = CuckooNativeFile.create(32, 4, 50, prng_seed=7)
+    st.add_strings([f"u-{i}" for i in range(60)])
+    fpath = tmp_path / "py.bin"
+    cuckoo_native_export(st, str(fpath))
+    src = tmp_path / "chk.c"
+    src.write_text(r'''
+#include <stdio.h>
+#include <string.h>
+#include "cuckoo.h"
+int main(int argc, char **argv) {
+    cuckoofilter cf;
+    if (!cuckoo_load(&cf, argv[1])) return 1;
+    char buf[32];
+    for (int i = 0; i < 80; i++) {
+        snprintf(buf, sizeof buf, "u-%d", i);
+        printf("%d", cuckoo_lookup_string(cf, buf) ? 1 : 0);
+    }
+    printf("\n");
+    return 0;
+}
+''')
+    exe = tmp_path / "chk"
+    subprocess.run(
+        ["gcc", "-O2", f"-I{REF_SRC}", "-o", str(exe), str(src),
+         f"{REF_SRC}/cuckoo.c", f"{REF_SRC}/mmh3.c", "-lm"],
+        check=True, capture_output=True,
+    )
+    out = subprocess.run([str(exe), str(fpath)], check=True,
+                         capture_output=True, text=True).stdout.strip()
+    exp = "".join(
+        "1" if b else "0"
+        for b in st.contains_strings([f"u-{i}" for i in range(80)])
+    )
+    assert out == exp
