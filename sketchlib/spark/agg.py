@@ -76,6 +76,11 @@ class SketchJob:
     ts: object | None = None
     values: object | None = None
     prehash: bool = False
+    # Hint for the declarative suite builder (spark/suite_sql.py): the key
+    # has far fewer distinct values than rows (conversation ids, tool
+    # names), so a key-level pre-reduction before the explode×k pays.
+    # Ignored by the kernel build paths.
+    low_cardinality: bool = False
 
 
 

@@ -835,6 +835,70 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_sql_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles as plain Spark SQL (spark/sql_udaf.py): per-ship-month KLL
+    states built by the registered GROUPED_AGG UDAF over l_extendedprice,
+    read with the registered p50/p95 quantile UDFs, then RE-aggregated
+    with kll_merge into one total state — all inside spark.sql.  Bound:
+    every per-month quantile and the merged total within KLL k=200's 3%
+    rank-error budget of the exact ranks (merge preserves the bound —
+    Karnin–Lang–Liberty)."""
+    from sketchlib.spark.sql_udaf import register_sql_udafs
+
+    register_sql_udafs(spark, KllSpec(k=200), "sk_kll", quantiles=(0.5, 0.95))
+    li = _read(spark, sf_dir, "lineitem")
+    li.select(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    ).createOrReplaceTempView("kll_lineitem")
+    # COUNT lives in its own subquery: Spark cannot mix a GROUPED_AGG
+    # pandas UDAF with built-in aggregates in one aggregation
+    months = spark.sql(
+        """
+        SELECT s.month, sk_kll_p50(s.state) AS p50, sk_kll_p95(s.state) AS p95,
+               s.state, c.n
+        FROM (SELECT month, sk_kll_state(price) AS state
+              FROM kll_lineitem GROUP BY month) s
+        JOIN (SELECT month, COUNT(price) AS n
+              FROM kll_lineitem GROUP BY month) c USING (month)
+        """
+    ).cache()
+    months.createOrReplaceTempView("kll_month_states")
+    tot = spark.sql(
+        """
+        SELECT sk_kll_p50(sk_kll_merge(state)) AS p50,
+               sk_kll_p95(sk_kll_merge(state)) AS p95
+        FROM kll_month_states
+        """
+    ).first()
+
+    def _rank_ok(vals: np.ndarray, est: float, q: float, tol: float) -> bool:
+        lo, hi = _rank_of(vals, est)
+        return lo <= q <= hi or min(abs(q - lo), abs(q - hi)) <= tol
+
+    # one pull of (month, price), grouped in numpy — NOT one Spark query
+    # per month (83 driver round-trips measured 25s+)
+    mp = spark.sql("SELECT month, price FROM kll_lineitem").toPandas()
+    by_month = {m: np.sort(g["price"].to_numpy()) for m, g in mp.groupby("month")}
+    ok = True
+    for r in months.select("month", "p50", "p95").collect():
+        vals = by_month[r["month"]]
+        ok = ok and _rank_ok(vals, r["p50"], 0.5, 0.03)
+        ok = ok and _rank_ok(vals, r["p95"], 0.95, 0.03)
+    allv = np.sort(mp["price"].to_numpy())
+    tot_ok = _rank_ok(allv, tot["p50"], 0.5, 0.03) and _rank_ok(
+        allv, tot["p95"], 0.95, 0.03
+    )
+    out = months.select(
+        "month",
+        "n",
+        F.lit(bool(ok)).alias("monthly_within_rank_bound"),
+        F.lit(bool(tot_ok)).alias("merged_within_rank_bound"),
+    )
+    months.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # set algebra (bloom merge / intersect / jaccard — bloomtool §2.8)
 # ---------------------------------------------------------------------------
@@ -1538,6 +1602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tdbloom_lifecycle": q_tdbloom_lifecycle,
     "cbloom_maintenance_ops": q_cbloom_maintenance_ops,
     "kll_quantiles": q_kll_quantiles,
+    "kll_sql_quantiles": q_kll_sql_quantiles,
     "tdigest_quantiles": q_tdigest_quantiles,
     "bloom_set_algebra": q_bloom_set_algebra,
     "bloom_maintenance": q_bloom_maintenance,
@@ -1764,6 +1829,13 @@ ORACLES: dict[str, str] = {
     "kll_quantiles": """
         SELECT 'kll_extendedprice' AS sketch, q, TRUE AS rank_err_within_bound
         FROM (SELECT UNNEST(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[])) AS q)
+    """,
+    "kll_sql_quantiles": """
+        SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS month,
+               COUNT(l_extendedprice) AS n,
+               TRUE AS monthly_within_rank_bound,
+               TRUE AS merged_within_rank_bound
+        FROM lineitem GROUP BY 1
     """,
     "tdigest_quantiles": """
         SELECT 'tdigest_extendedprice' AS sketch, q, TRUE AS rank_err_within_bound

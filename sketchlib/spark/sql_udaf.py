@@ -210,13 +210,32 @@ def quantile_udf(spec: BaseSpec, q: float):
     return _q
 
 
-def register_sql_udafs(spark: SparkSession, spec: BaseSpec, prefix: str) -> None:
+def _quantile_fn_name(prefix: str, q: float) -> str:
+    """``kll, 0.5 -> kll_p50``; non-integral percents keep their decimals
+    with ``_`` (``0.999 -> kll_p99_9``)."""
+    pct = q * 100.0
+    if float(pct).is_integer():
+        return f"{prefix}_p{int(pct)}"
+    return f"{prefix}_p{str(pct).replace('.', '_').rstrip('0').rstrip('_')}"
+
+
+def register_sql_udafs(
+    spark: SparkSession,
+    spec: BaseSpec,
+    prefix: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> None:
     """Register ``<prefix>_state`` / ``<prefix>_merge`` (and
-    ``<prefix>_estimate`` for HLL, ``<prefix>_saturation`` where supported)
-    for use from ``spark.sql``."""
+    ``<prefix>_estimate`` for HLL, ``<prefix>_saturation`` where supported,
+    ``<prefix>_p50``-style quantile readers for KLL / t-digest — one
+    function per requested quantile, since SQL scalar readers take only the
+    state column) for use from ``spark.sql``."""
     spark.udf.register(f"{prefix}_state", sketch_state_agg(spec))
     spark.udf.register(f"{prefix}_merge", state_merge_agg(spec))
     if spec.kind == "hll":
         spark.udf.register(f"{prefix}_estimate", hll_estimate_udf(spec))
     if spec.kind in _SATURATION_KINDS:
         spark.udf.register(f"{prefix}_saturation", saturation_udf(spec))
+    if spec.kind in _VALUES:
+        for q in quantiles:
+            spark.udf.register(_quantile_fn_name(prefix, q), quantile_udf(spec, q))

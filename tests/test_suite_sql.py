@@ -83,6 +83,30 @@ def test_suite_byte_identity_vs_build_many(spark, tdf):
     assert sql_out["cms_tool"][1] == tdf.filter("tool is not null").count()
 
 
+def test_suite_low_cardinality_prereduce_byte_identity(spark, tdf):
+    """low_cardinality=True (key-level pre-reduction before the explode)
+    must change ONLY the plan, never the state: byte-identical kernels and
+    identical ingested-row counts vs the direct branches."""
+    n = tdf.count()
+    jobs_lc = [
+        SketchJob("cms_tool", CmsSpec(epsilon=0.005, delta=0.01), key="tool",
+                  prehash=True, low_cardinality=True),
+        SketchJob("cb_conv", CBloomSpec(2000, 0.01), key="conv_id",
+                  prehash=True, low_cardinality=True),
+        SketchJob("bloom_conv", BloomSpec(max(n, 1000), 0.01), key="conv_id",
+                  prehash=True, low_cardinality=True),
+        SketchJob("td_conv",
+                  TdBloomSpec(2000, 0.01, timeout=7 * 86400, start_time=T0),
+                  key="conv_id", ts="ts", prehash=True, low_cardinality=True),
+    ]
+    sql_out = build_suite_sql(tdf, jobs_lc)
+    ker_out = build_many(tdf, jobs_lc)
+    for job in jobs_lc:
+        assert sql_out[job.name][0].serialize() == ker_out[job.name][0].serialize(), job.name
+        if job.key == "conv_id":  # null-free key: row accounting must agree
+            assert sql_out[job.name][1] == ker_out[job.name][1], job.name
+
+
 def test_cms_km_byte_identity(spark, tdf):
     spec = CmsSpec(epsilon=0.002, delta=0.01)
     k_sql = build_cms_sql_km(tdf, spec, "tool")

@@ -100,10 +100,10 @@ jobs = [
     SketchJob("bloom_text", BloomSpec(max(n, 1000), 0.01), key="text",
               prehash=True),
     SketchJob("cms_tool", CmsSpec(epsilon=0.0005, delta=0.01), key="tool",
-              prehash=True),
+              prehash=True, low_cardinality=True),
     SketchJob("td_conv", TdBloomSpec(100_000, 0.001, timeout=7*86400,
                                      start_time=T0), key="conv_id", ts="ts",
-              prehash=True),
+              prehash=True, low_cardinality=True),
 ]
 run_suite_sql(tr, jobs)  # warm: JIT, codegen cache, parquet footers
 times = []
@@ -245,9 +245,9 @@ def main() -> None:
         ("weak_lo", weak_lo, "prehash"),
         ("jvm_lo", jvm_lo, "prehash"),
         ("jvm_hi", jvm_hi, "prehash"),
-        ("sql_strong_lo", sql_lo, "sql"),
-        ("sql_strong_hi", sql_hi, "sql"),
-        ("sql_weak_lo", sql_weak_lo, "sql"),
+        ("sql_strong_lo", sql_lo, "sql-lc"),
+        ("sql_strong_hi", sql_hi, "sql-lc"),
+        ("sql_weak_lo", sql_weak_lo, "sql-lc"),
     ):
         h = hist.setdefault(name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE})
         if (
