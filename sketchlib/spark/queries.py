@@ -1504,15 +1504,54 @@ def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: text→binary media table, stub decode +
+    """Multimodal plumbing end-to-end: text→binary media table, decode +
     resize + feature extract (mapInPandas), frame sampling — byte counts and
-    frame counts are exact SQL-checkable functions of the text lengths."""
-    from sketchlib.pipeline.multimodal import frame_sample, image_features, make_media_df
+    frame counts are exact SQL-checkable functions of the text lengths.
+    The volume run uses the deterministic stub decoder; a REAL-codec leg
+    runs the same mapInPandas pipeline over genuine PNG blobs with
+    ``fake=False`` (stdlib decoder, pipeline/multimodal.py) and asserts the
+    features match a local decode of the same bytes — the gate no longer
+    proves only the fake path."""
+    from sketchlib.pipeline.multimodal import (
+        _decode_png,
+        frame_sample,
+        image_features,
+        make_media_df,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     media = make_media_df(spark, docs, "text", "doc_id")
     feats = image_features(media, resize_to=4, fake=True)
     frames = frame_sample(media, every=7, fake=True)
+
+    # real-codec leg: deterministic PNGs through the same pipeline
+    import pandas as pd
+
+    from sketchlib.pipeline.multimodal import MEDIA_SCHEMA
+
+    rng = np.random.default_rng(17)
+    rows, local_means = [], {}
+    for i in range(12):
+        arr = rng.integers(0, 256, size=(9 + i % 4, 7, 3), dtype=np.uint8)
+        blob = _png_bytes(arr, filt=i % 5)
+        rows.append(
+            (i, "image", bytearray(blob),
+             {"width": 7, "height": 9 + i % 4, "channels": 3,
+              "sample_rate": 0, "n_frames": 0, "format": "png"})
+        )
+        local_means[i] = _decode_png(blob).reshape(-1, 3).mean(axis=0)
+    png_media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "kind", "data", "meta"]),
+        schema=MEDIA_SCHEMA,
+    )
+    got = {
+        r["id"]: np.array(r["feat"])
+        for r in image_features(png_media, resize_to=4, fake=False).collect()
+    }
+    real_ok = len(got) == 12 and all(
+        np.allclose(got[i], local_means[i], atol=8.0) for i in got
+    )
+
     # one deterministic all-integer aggregation per branch, joined into one
     # row — the round-1 version ran four separate actions over the uncached
     # mapInPandas chain (4x recompute + a hash-fragile driver-side Row)
@@ -1523,8 +1562,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s_agg = frames.agg(F.count("*").alias("n_sampled_frames"))
     return f_agg.crossJoin(s_agg).select(
-        "n_media", "total_bytes", "feat_dim", "n_sampled_frames"
+        "n_media",
+        "total_bytes",
+        "feat_dim",
+        "n_sampled_frames",
+        F.lit(bool(real_ok)).alias("real_png_decode_ok"),
     )
+
+
+def _png_bytes(arr: "np.ndarray", filt: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit RGB, one filter type for all rows) for the
+    real-codec gate leg — forward transforms of PNG spec §9."""
+    import struct as _s
+    import zlib as _z
+
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        raw.append(filt)
+        for i in range(w * c):
+            a = int(cur[i - c]) if i >= c else 0
+            b = int(prev[i])
+            cc = int(prev[i - c]) if i >= c else 0
+            if filt == 0:
+                v = cur[i]
+            elif filt == 1:
+                v = cur[i] - a
+            elif filt == 2:
+                v = cur[i] - b
+            elif filt == 3:
+                v = cur[i] - (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                v = cur[i] - pred
+            raw.append(int(v) & 0xFF)
+        prev = cur
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d))
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b""))
 
 
 def q_streaming_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1992,7 +2075,8 @@ ORACLES: dict[str, str] = {
         SELECT COUNT(*) AS n_media,
                CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                3 AS feat_dim,
-               CAST(SUM((length(text) % 50 + 1 + 6) // 7) AS BIGINT) AS n_sampled_frames
+               CAST(SUM((length(text) % 50 + 1 + 6) // 7) AS BIGINT) AS n_sampled_frames,
+               TRUE AS real_png_decode_ok
         FROM documents
     """,
 }
