@@ -140,8 +140,22 @@ def test_run_suite_sql_counts_cells(spark, tdf):
 
 def test_suite_plan_is_python_free(spark, tdf):
     """The whole suite plan must contain no Python evaluation operators —
-    the scaling-gate property."""
-    plan = suite_cell_rows(tdf, _jobs(1000))._jdf.queryExecution().executedPlan().toString()
-    for op in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInArrow", "MapInArrow"):
-        assert op not in plan, op
-    assert "HashAggregate" in plan
+    the scaling-gate property — in both the direct and the
+    low-cardinality pre-reduced shapes."""
+    lc_jobs = [
+        SketchJob("cms_tool", CmsSpec(epsilon=0.005, delta=0.01), key="tool",
+                  prehash=True, low_cardinality=True),
+        SketchJob("td_conv",
+                  TdBloomSpec(2000, 0.01, timeout=7 * 86400, start_time=T0),
+                  key="conv_id", ts="ts", prehash=True, low_cardinality=True),
+    ]
+    for jobs in (_jobs(1000), lc_jobs):
+        plan = (
+            suite_cell_rows(tdf, jobs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for op in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInArrow", "MapInArrow"):
+            assert op not in plan, op
+        assert "HashAggregate" in plan
