@@ -350,3 +350,55 @@ def build_tdbloom_sql(
             np.int32
         )
     return TdBloomFilter(spec, ticks)
+
+
+# ---------------------------------------------------------------------------
+# tdcbloom
+# ---------------------------------------------------------------------------
+
+def tdcbloom_cell_rows(df: DataFrame, spec, key, ts: str = "ts") -> DataFrame:
+    """Aggregated SoA cells ``(pos, cnt, tick)`` — the saturating counter
+    is ``least(count, cap)`` (add-only streams) and the tick is the
+    freshest event-time stamp, exactly kernels/tdcbloom.py::update_hashes
+    (``_scatter_sat_add`` + ``np.maximum.at``)."""
+    staged = _staged_positions(
+        df, key, spec.k, spec.m, extra={"__tick": _tick_col(spec, ts)}
+    )
+    return (
+        staged.filter(F.col("__tick").isNotNull())
+        .select(
+            F.explode(
+                F.array(*[F.col(f"__p{i}") for i in range(spec.k)])
+            ).alias("pos"),
+            F.col("__tick").alias("t"),
+        )
+        .filter(F.col("pos").isNotNull())
+        .groupBy("pos")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(spec.cap)).alias("cnt"),
+            F.max("t").alias("tick"),
+        )
+    )
+
+
+def build_tdcbloom_sql(df: DataFrame, spec, key, ts: str = "ts"):
+    """Prehash-family time-decaying counting Bloom, zero Python in the
+    build dataflow; byte-identical to the prehash kernel build."""
+    from sketchlib.kernels import TdCBloomFilter
+
+    rows = tdcbloom_cell_rows(df, spec, key, ts).collect()
+    if rows:
+        ticks_arr = np.array([r["tick"] for r in rows], dtype=np.int64)
+        if ticks_arr.min() < 1:
+            raise ValueError("ts earlier than spec.start_time")
+        if ticks_arr.max() >= 2**31:
+            raise ValueError("ts span exceeds int32 ticks (>68 years)")
+    counters = np.zeros(spec.m, dtype=spec.counter_np_dtype)
+    ticks = np.zeros(spec.m, dtype=np.int32)
+    if rows:
+        idx = np.array([r["pos"] for r in rows], dtype=np.int64)
+        counters[idx] = np.array([r["cnt"] for r in rows], dtype=np.uint64).astype(
+            spec.counter_np_dtype
+        )
+        ticks[idx] = ticks_arr.astype(np.int32)
+    return TdCBloomFilter(spec, counters, ticks)

@@ -203,12 +203,13 @@ def q_cbloom_sql_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-Catalyst counting-Bloom (spark/bloom_sql.py): counters as
     ``groupBy(pos).least(count, cap)``, min-of-k point counts as a
     broadcast join — zero Python in either path.  One-sided error checked
-    per key (never undercounts); byte-identity of the SQL-built counter
-    array vs the prehash kernel build is asserted for cbloom AND tdbloom
+    per key (never undercounts); byte-identity of the SQL-built state vs
+    the prehash kernel build is asserted for cbloom, tdbloom AND tdcbloom
     (the whole bloom family shares the declarative ladder)."""
     from sketchlib.spark.bloom_sql import (
         build_cbloom_sql,
         build_tdbloom_sql,
+        build_tdcbloom_sql,
         cbloom_cell_rows,
         cbloom_sql_counts,
     )
@@ -226,6 +227,12 @@ def q_cbloom_sql_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_tdbloom_sql(events, tspec, "user_id", ts="ts").serialize()
         == tkern.serialize()
     )
+    tcspec = TdCBloomSpec(50_000, 0.001, timeout=max((t1 - t0), 1), start_time=t0)
+    tckern, _ = build_sketch(events, tcspec, key="user_id", ts="ts", prehash=True)
+    tc_ident = (
+        build_tdcbloom_sql(events, tcspec, "user_id", ts="ts").serialize()
+        == tckern.serialize()
+    )
     exact = events.groupBy("user_id").count().withColumnRenamed("count", "cnt_exact")
     out = (
         exact.join(est, "user_id")
@@ -235,6 +242,7 @@ def q_cbloom_sql_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt") >= F.col("cnt_exact")).alias("never_undercounts"),
             F.lit(bool(c_ident)).alias("cbloom_byte_identical"),
             F.lit(bool(t_ident)).alias("tdbloom_byte_identical"),
+            F.lit(bool(tc_ident)).alias("tdcbloom_byte_identical"),
         )
     )
     cells.unpersist()
@@ -1791,7 +1799,8 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS cnt_exact,
                TRUE AS never_undercounts,
                TRUE AS cbloom_byte_identical,
-               TRUE AS tdbloom_byte_identical
+               TRUE AS tdbloom_byte_identical,
+               TRUE AS tdcbloom_byte_identical
         FROM events GROUP BY user_id
     """,
     "bloom_probe_join": """

@@ -63,7 +63,7 @@ from sketchlib.spark.hll_sql import build_hll_sql, idx_rho_from_hash
 from sketchlib.spark.prehash import prehash_pair
 from sketchlib.specs import CmsSpec
 
-_SUPPORTED = ("hll", "bloom", "cbloom", "cms", "tdbloom")
+_SUPPORTED = ("hll", "bloom", "cbloom", "cms", "tdbloom", "tdcbloom")
 
 
 # ---------------------------------------------------------------------------
@@ -122,6 +122,10 @@ def build_sketch_sql(df: DataFrame, spec, key, ts: str = "ts"):
         return build_cms_sql_km(df, spec, key)
     if kind == "tdbloom":
         return build_tdbloom_sql(df, spec, key, ts=ts)
+    if kind == "tdcbloom":
+        from sketchlib.spark.bloom_sql import build_tdcbloom_sql
+
+        return build_tdcbloom_sql(df, spec, key, ts=ts)
     raise ValueError(
         f"no declarative build for kind {kind!r}; supported: {_SUPPORTED}"
     )
@@ -168,22 +172,19 @@ def _job_cells(df: DataFrame, j: int, job: SketchJob) -> DataFrame:
     k = job.spec.depth if kind == "cms" else job.spec.k
     m = job.spec.width if kind == "cms" else job.spec.m
 
+    timed = kind in ("tdbloom", "tdcbloom")
     lanes = df.select(
         h1.alias("__h1"),
         h2.alias("__h2"),
-        *(
-            [_tick_col(job.spec, job.ts).alias("__tick")]
-            if kind == "tdbloom"
-            else []
-        ),
+        *([_tick_col(job.spec, job.ts).alias("__tick")] if timed else []),
     ).filter(F.col("__h1").isNotNull())
-    if kind == "tdbloom":
+    if timed:
         lanes = lanes.filter(F.col("__tick").isNotNull())
 
     # key-level pre-reduction: tiny hash map over (h1, h2), then the
     # explode×k runs over distinct keys with a per-key weight/stat
     if lowcard:
-        if kind == "tdbloom":
+        if timed:
             lanes = lanes.groupBy("__h1", "__h2").agg(
                 F.max("__tick").alias("__tick"),
                 F.count(F.lit(1)).alias("__w"),
@@ -195,7 +196,7 @@ def _job_cells(df: DataFrame, j: int, job: SketchJob) -> DataFrame:
     else:
         lanes = lanes.withColumn("__w", F.lit(1).cast("bigint"))
 
-    carry = ["__w"] + (["__tick"] if kind == "tdbloom" else [])
+    carry = ["__w"] + (["__tick"] if timed else [])
     staged = lanes.select(
         *[
             _pos_expr(F.col("__h1"), F.col("__h2"), i, m).alias(f"__p{i}")
@@ -235,7 +236,7 @@ def _job_cells(df: DataFrame, j: int, job: SketchJob) -> DataFrame:
         cells = cellcol.groupBy("cell").agg(F.sum("__w").alias("cnt"))
         return cells.select(sk, "cell", nul.alias("vmax"), nul.alias("vor"), "cnt")
 
-    # tdbloom
+    # tdbloom / tdcbloom (SoA: counter rides in cnt, tick in vmax)
     cells = (
         staged.select(
             F.explode(arr).alias("cell"), F.col("__tick").alias("v"), F.col("__w")
@@ -346,6 +347,24 @@ def build_suite_sql(
             ticks[c] = mx.astype(np.int32)
             out[job.name] = (
                 TdBloomFilter(job.spec, ticks),
+                int(n.sum()) // job.spec.k,
+            )
+        elif kind == "tdcbloom":
+            from sketchlib.kernels import TdCBloomFilter
+
+            if c.size:
+                if mx.min() < 1:
+                    raise ValueError("ts earlier than spec.start_time")
+                if mx.max() >= 2**31:
+                    raise ValueError("ts span exceeds int32 ticks (>68 years)")
+            counters = np.zeros(job.spec.m, dtype=job.spec.counter_np_dtype)
+            counters[c] = np.minimum(n, job.spec.cap).astype(
+                job.spec.counter_np_dtype
+            )
+            ticks = np.zeros(job.spec.m, dtype=np.int32)
+            ticks[c] = mx.astype(np.int32)
+            out[job.name] = (
+                TdCBloomFilter(job.spec, counters, ticks),
                 int(n.sum()) // job.spec.k,
             )
     return out

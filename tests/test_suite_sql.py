@@ -20,7 +20,14 @@ from sketchlib.spark.suite_sql import (
     run_suite_sql,
     suite_cell_rows,
 )
-from sketchlib.specs import BloomSpec, CBloomSpec, CmsSpec, HllSpec, TdBloomSpec
+from sketchlib.specs import (
+    BloomSpec,
+    CBloomSpec,
+    CmsSpec,
+    HllSpec,
+    TdBloomSpec,
+    TdCBloomSpec,
+)
 
 T0 = 1767225600
 
@@ -62,6 +69,13 @@ def _jobs(n: int) -> list[SketchJob]:
         SketchJob(
             "td_conv",
             TdBloomSpec(2000, 0.01, timeout=7 * 86400, start_time=T0),
+            key="conv_id",
+            ts="ts",
+            prehash=True,
+        ),
+        SketchJob(
+            "tdc_conv",
+            TdCBloomSpec(2000, 0.01, timeout=7 * 86400, start_time=T0),
             key="conv_id",
             ts="ts",
             prehash=True,
@@ -122,6 +136,7 @@ def test_dispatcher_routes_all_kinds(spark, tdf):
         (CBloomSpec(1000, 0.01), {}),
         (CmsSpec(epsilon=0.01, delta=0.1), {}),
         (TdBloomSpec(1000, 0.01, timeout=86400 * 7, start_time=T0), {"ts": "ts"}),
+        (TdCBloomSpec(1000, 0.01, timeout=86400 * 7, start_time=T0), {"ts": "ts"}),
     ]:
         k_sql = build_sketch_sql(tdf, spec, "conv_id", **kw)
         k_ker, _ = build_sketch(tdf, spec, key="conv_id", prehash=True, **({"ts": "ts"} if kw else {}))
