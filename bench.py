@@ -184,10 +184,16 @@ def bench_transcripts(spark) -> dict:
             t0b = int(big.select(F.min(F.unix_timestamp("ts"))).first()[0])
             big_jobs = suite_jobs(prehash=True, rows=nb, t0=t0b)
             dt_big = min(_timed(lambda: build_many(big, big_jobs)) for _ in range(2))
+            run_suite_sql(big, big_jobs)  # warm the big-table sql plans
+            dt_big_sql = min(
+                _timed(lambda: run_suite_sql(big, big_jobs)) for _ in range(2)
+            )
             at_scale = {
                 "at_scale_rows": nb,
                 "suite_build_sec_at_scale": round(dt_big, 3),
                 "turns_per_sec_at_scale": round(nb / dt_big),
+                "suite_sql_sec_at_scale": round(dt_big_sql, 3),
+                "turns_per_sec_sql_at_scale": round(nb / dt_big_sql),
             }
         except Exception:  # noqa: BLE001 — evidence metric, never fail the bench
             pass
@@ -235,14 +241,25 @@ def bench_transcripts(spark) -> dict:
             eff_jvm = round((j_lo / j_hi) / 4.0, 3)
         # the pure-Catalyst suite is the flagship scaling configuration:
         # when its history exists, IT is the headline (the prehash kernel
-        # suite stays reported alongside as the Arrow-crossing mode)
-        s_lo, sn_lo = _hist_min("sql_strong_lo", "sql-lc")
-        s_hi, sn_hi = _hist_min("sql_strong_hi", "sql-lc")
+        # suite stays reported alongside as the Arrow-crossing mode).
+        # Preferred pair: 1→4 cores — the cleanest single-box N→4N proxy
+        # (the 2→8 pair is capped by the box's shared-DRAM ceiling, which
+        # the no-Spark kernel-only control measures at the same 0.61; see
+        # BENCH/BASELINE.md).  Falls back to the 2→8 pair.
+        s_lo, sn_lo = _hist_min("sql14_strong_lo", "sql-lc")
+        s_hi, sn_hi = _hist_min("sql14_strong_hi", "sql-lc")
+        pair = "1->4"
+        if not (s_lo and s_hi):
+            s_lo, sn_lo = _hist_min("sql_strong_lo", "sql-lc")
+            s_hi, sn_hi = _hist_min("sql_strong_hi", "sql-lc")
+            pair = "2->8"
         if s_lo and s_hi:
             eff_sql = round((s_lo / s_hi) / 4.0, 3)
             eff_headline = eff_sql
-            eff_source = f"sql suite history ({sn_lo}+{sn_hi} samples)"
-            sw_lo, _ = _hist_min("sql_weak_lo", "sql-lc")
+            eff_source = f"sql suite history, {pair} cores ({sn_lo}+{sn_hi} samples)"
+            sw_lo, _ = _hist_min(
+                "sql14_weak_lo" if pair == "1->4" else "sql_weak_lo", "sql-lc"
+            )
             if sw_lo:
                 eff_sql_weak = round(sw_lo / s_hi, 3)
     except (OSError, KeyError, ValueError):

@@ -200,17 +200,26 @@ def main() -> None:
     small = ensure_data(75_000)  # ~2.25M turns (≈ big/4)
 
     sqlc = CHILD_SQL
-    strong_lo, strong_hi, weak_lo, sql_lo, sql_hi, sql_weak_lo = (
-        run_level_interleaved(
-            [
-                (2, big),
-                (8, big),
-                (2, small),
-                (2, big, sqlc),
-                (8, big, sqlc),
-                (2, small, sqlc),
-            ]
-        )
+    (
+        strong_lo, strong_hi, weak_lo,
+        sql_lo, sql_hi, sql_weak_lo,
+        sql14_lo, sql14_hi, sql14_weak_lo,
+    ) = run_level_interleaved(
+        [
+            (2, big),
+            (8, big),
+            (2, small),
+            (2, big, sqlc),
+            (8, big, sqlc),
+            (2, small, sqlc),
+            # the 1→4 pair: the cleanest single-box N→4N proxy — 4 hot
+            # threads leave the shared-DRAM ceiling mostly untouched,
+            # where the 2→8 pair (16 hot threads incl. JVM helpers) is
+            # capped by it (kernel-only control 0.61, BENCH/BASELINE.md)
+            (1, big, sqlc),
+            (4, big, sqlc),
+            (1, small, sqlc),
+        ]
     )
     # JVM-only control: the prehash build's codegen half (scan + xxhash64 +
     # hash-aggregate, zero Python) at the same two levels — its efficiency
@@ -248,6 +257,9 @@ def main() -> None:
         ("sql_strong_lo", sql_lo, "sql-lc"),
         ("sql_strong_hi", sql_hi, "sql-lc"),
         ("sql_weak_lo", sql_weak_lo, "sql-lc"),
+        ("sql14_strong_lo", sql14_lo, "sql-lc"),
+        ("sql14_strong_hi", sql14_hi, "sql-lc"),
+        ("sql14_weak_lo", sql14_weak_lo, "sql-lc"),
     ):
         h = hist.setdefault(name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE})
         if (
@@ -274,6 +286,8 @@ def main() -> None:
     jvm_eff = (jvm_lo["suite_sec"] / jvm_hi["suite_sec"]) / 4
     sql_strong_eff = (sql_lo["suite_sec"] / sql_hi["suite_sec"]) / 4
     sql_weak_eff = sql_weak_lo["suite_sec"] / sql_hi["suite_sec"]
+    sql14_strong_eff = (sql14_lo["suite_sec"] / sql14_hi["suite_sec"]) / 4
+    sql14_weak_eff = sql14_weak_lo["suite_sec"] / sql14_hi["suite_sec"]
     tps_ratio = strong_hi["turns_per_sec"] / weak_lo["turns_per_sec"]
     strong_eff_head = (
         strong_lo["suite_sec_this_head"] / strong_hi["suite_sec_this_head"]
@@ -288,6 +302,10 @@ def main() -> None:
                        "efficiency": round(sql_strong_eff, 3)},
         "sql_weak": {"low": sql_weak_lo, "high": sql_hi,
                      "efficiency": round(sql_weak_eff, 3)},
+        "sql14_strong": {"low": sql14_lo, "high": sql14_hi,
+                         "efficiency": round(sql14_strong_eff, 3)},
+        "sql14_weak": {"low": sql14_weak_lo, "high": sql14_hi,
+                       "efficiency": round(sql14_weak_eff, 3)},
         "jvm_control": {"low": jvm_lo, "high": jvm_hi,
                         "efficiency": round(jvm_eff, 3)},
     }
@@ -312,8 +330,10 @@ columns cross to Python; sketchlib/spark/prehash.py).  The mmh3-parity mode
 
 | regime | N | 4N | t_N | t_4N | turns/s N | turns/s 4N | efficiency |
 |---|---|---|---|---|---|---|---|
-| **SQL suite, strong** ({sql_lo['rows']:,} turns both; pure-Catalyst, zero Python — spark/suite_sql.py, the flagship) | local[2] | local[8] | {sql_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_strong_eff:.3f}** |
-| **SQL suite, weak** ({sql_weak_lo['rows']:,} vs {sql_hi['rows']:,} turns) | local[2] | local[8] | {sql_weak_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_weak_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_weak_eff:.3f}** |
+| **SQL suite, strong** ({sql14_lo['rows']:,} turns both; pure-Catalyst, zero Python — spark/suite_sql.py, the flagship) | local[1] | local[4] | {sql14_lo['suite_sec']} s | {sql14_hi['suite_sec']} s | {sql14_lo['turns_per_sec']:,} | {sql14_hi['turns_per_sec']:,} | **{sql14_strong_eff:.3f}** |
+| **SQL suite, weak** ({sql14_weak_lo['rows']:,} vs {sql14_hi['rows']:,} turns) | local[1] | local[4] | {sql14_weak_lo['suite_sec']} s | {sql14_hi['suite_sec']} s | {sql14_weak_lo['turns_per_sec']:,} | {sql14_hi['turns_per_sec']:,} | **{sql14_weak_eff:.3f}** |
+| SQL suite, strong — DRAM-capped pair ({sql_lo['rows']:,} turns both; 16 hot threads share the box's memory controllers — see the controls below) | local[2] | local[8] | {sql_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_strong_eff:.3f}** |
+| SQL suite, weak ({sql_weak_lo['rows']:,} vs {sql_hi['rows']:,} turns) | local[2] | local[8] | {sql_weak_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_weak_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_weak_eff:.3f}** |
 | prehash kernel suite, strong ({strong_lo['rows']:,} turns both) | local[2] | local[8] | {strong_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {strong_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{strong_eff:.3f}** |
 | prehash kernel suite, weak ({weak_lo['rows']:,} vs {strong_hi['rows']:,} turns) | local[2] | local[8] | {weak_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {weak_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{weak_eff:.3f}** |
 | JVM-only control (scan+xxhash64+agg, zero Python) | local[2] | local[8] | {jvm_lo['suite_sec']} s | {jvm_hi['suite_sec']} s | {jvm_lo['turns_per_sec']:,} | {jvm_hi['turns_per_sec']:,} | **{jvm_eff:.3f}** |
@@ -327,7 +347,16 @@ broadcast joins; driver kernel materialization is a state-sized constant,
 measured in bench.py).  The prehash kernel suite rides the mapInArrow
 crossing, whose fixed per-stream cost floors its single-box scaling.
 
-raw samples: SQL N {sql_lo['samples']}, SQL 4N {sql_hi['samples']}, N-strong {strong_lo['samples']}, 4N {strong_hi['samples']}, N-weak {weak_lo['samples']}
+Why 1→4 headlines and 2→8 is reported as the capped pair: each Spark
+"core" runs ~2 hot threads, so local[8] puts ~16 threads on this VM's
+shared memory controllers — the kernel-only no-Spark control (below)
+measures the SAME 0.61 ceiling for that thread count, i.e. the cap is the
+box, not the engine.  The 1→4 pair keeps the thread count under the
+ceiling and is the honest single-box proxy for what 4N real executors
+(each with its OWN memory controllers) see.  Both pairs use identical
+code, data and methodology.
+
+raw samples: SQL 1 {sql14_lo['samples']}, SQL 4 {sql14_hi['samples']}, SQL N2 {sql_lo['samples']}, SQL 4N8 {sql_hi['samples']}, N-strong {strong_lo['samples']}, 4N {strong_hi['samples']}, N-weak {weak_lo['samples']}
 
 Sample history is keyed by git HEAD in BENCH/scaling_samples.json (by_head);
 this run (HEAD {head}) measured strong-efficiency {strong_eff_head:.3f} from
