@@ -352,6 +352,49 @@ def build_tdbloom_sql(
     return TdBloomFilter(spec, ticks)
 
 
+def tdbloom_sql_members(
+    cells: DataFrame,
+    spec: TdBloomSpec,
+    df: DataFrame,
+    key,
+    as_of: int,
+    result_col: str = "member",
+) -> DataFrame:
+    """Declarative as-of membership probe against a tdbloom cell frame:
+    re-derive each distinct probe key's k cells, broadcast-join the tick
+    frame, member iff every cell is stamped AND fresh within ``timeout``
+    as of ``as_of`` (kernels/tdbloom.py::contains semantics, including the
+    whole-filter age guard src/tdbloom.c:342: past ``max_time`` everything
+    reads absent).  Missing cells count 0 (never stamped).  Returns the
+    caller's original key values."""
+    T = int(as_of) - spec.start_time
+    orig = F.col(key) if isinstance(key, str) else key
+    probes = (
+        df.select(orig.alias("__orig")).filter(F.col("__orig").isNotNull()).distinct()
+    )
+    if T > spec.max_time:
+        return probes.select(
+            F.col("__orig").alias(key if isinstance(key, str) else "key"),
+            F.lit(False).alias(result_col),
+        )
+    staged = _staged_positions(
+        probes, F.col("__orig"), spec.k, spec.m, extra={"__orig": F.col("__orig")}
+    )
+    probed = staged.select(
+        "__orig",
+        F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos"),
+    )
+    tick = F.coalesce(F.col("tick"), F.lit(0))
+    age = F.lit(T) - (tick - F.lit(1))
+    live = (tick > 0) & (age >= 0) & (age <= F.lit(spec.timeout))
+    return (
+        probed.join(F.broadcast(cells), "pos", "left")
+        .groupBy("__orig")
+        .agg((F.min(live.cast("int")) == 1).alias(result_col))
+        .withColumnRenamed("__orig", key if isinstance(key, str) else "key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # tdcbloom
 # ---------------------------------------------------------------------------

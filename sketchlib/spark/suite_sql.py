@@ -274,6 +274,43 @@ def suite_cell_rows(df: DataFrame, jobs: list[SketchJob]) -> DataFrame:
     return out
 
 
+def merge_suite_cells(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two suite cell frames — the distributed-state merge algebra:
+    ``groupBy(sk, cell).agg(max(vmax), bit_or(vor), sum(cnt))``.  Exactly
+    the kernels' merge semantics per kind (HLL/tick max, bitmap OR,
+    counter add), so merging incremental cell frames then materializing
+    equals one build over the union (associative/commutative;
+    property-tested).  This is how a 100-TB deployment runs incremental
+    builds: append a day's cell frame, re-aggregate, never touch kernels
+    or the driver."""
+    u = a.unionByName(b)
+    return u.groupBy("sk", "cell").agg(
+        F.max("vmax").alias("vmax"),
+        F.bit_or("vor").alias("vor"),
+        F.sum("cnt").alias("cnt"),
+    )
+
+
+def write_suite_cells(cells: DataFrame, path: str) -> None:
+    """Persist a cell frame as parquet partitioned by sketch — the
+    distributed sketch store for the declarative path (cell frames ARE
+    the state; no driver materialization)."""
+    cells.write.mode("overwrite").partitionBy("sk").parquet(path)
+
+
+def read_suite_cells(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("sk", "cell", "vmax", "vor", "cnt")
+
+
+def materialize_suite_cells(
+    cells: DataFrame, jobs: list[SketchJob]
+) -> dict[str, tuple[object, int]]:
+    """Driver-side kernels from an (already aggregated) cell frame — the
+    read-side counterpart of :func:`build_suite_sql` for stored/merged
+    frames."""
+    return _materialize(cells.toArrow(), jobs)
+
+
 def run_suite_sql(df: DataFrame, jobs: list[SketchJob]) -> int:
     """Aggregate-only suite action: computes the fully-merged distributed
     cell state and returns its row count.  No driver materialization —
@@ -289,9 +326,12 @@ def build_suite_sql(
     parity endpoint: returns {job.name: (kernel, rows_ingested)} with each
     kernel byte-identical to ``build_many(df, jobs, prehash=True)``.  The
     collect is state-sized (Σ sketch cells), never data-sized."""
+    return _materialize(suite_cell_rows(df, jobs).toArrow(), jobs)
+
+
+def _materialize(tbl, jobs: list[SketchJob]) -> dict[str, tuple[object, int]]:
     import pyarrow.compute as pc
 
-    tbl = suite_cell_rows(df, jobs).toArrow()
     sk = tbl.column("sk").to_numpy(zero_copy_only=False)
     cell = tbl.column("cell").to_numpy(zero_copy_only=False)
     # fill_null BEFORE to_numpy: the union leaves each kind's unused
