@@ -27,7 +27,21 @@ from sketchlib.spark.bloom_sql import (  # noqa: F401
     build_bloom_sql,
     build_cbloom_sql,
     build_tdbloom_sql,
+    build_tdcbloom_sql,
     cbloom_cell_rows,
     cbloom_sql_counts,
     tdbloom_cell_rows,
+    tdbloom_sql_members,
+    tdcbloom_cell_rows,
+)
+from sketchlib.spark.suite_sql import (  # noqa: F401
+    build_cms_sql_km,
+    build_sketch_sql,
+    build_suite_sql,
+    materialize_suite_cells,
+    merge_suite_cells,
+    read_suite_cells,
+    run_suite_sql,
+    suite_cell_rows,
+    write_suite_cells,
 )
