@@ -245,3 +245,92 @@ def conversation_state(stream: DataFrame, timeout_ms: int = 60_000) -> DataFrame
         "update",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def cells_sink(root: str, jobs: list[SketchJob], query_name: str):
+    """foreachBatch sink maintaining the DECLARATIVE suite cell store
+    (spark/suite_sql.py): each micro-batch's cell frame is merged into a
+    versioned sk-partitioned parquet snapshot — the streaming counterpart
+    of ``sketch_sink`` with zero Python in the per-batch dataflow (the
+    batch aggregation and the merge are both pure Catalyst; only the
+    pointer bookkeeping runs on the driver).
+
+    Exactly-once: each epoch writes a NEW snapshot directory
+    (``{query_name}.cells.epoch=N``) from the previous pointer's snapshot
+    + the batch, then atomically swings the pointer file.  A replayed
+    epoch ≤ the pointer's is skipped; a crash between snapshot write and
+    pointer swing merely rewrites the same snapshot from the same (old)
+    pointer on replay — never a double fold.  The previous snapshot is
+    kept for in-flight readers; older ones are removed."""
+    import shutil
+
+    pointer = os.path.join(root, f"{query_name}.cells.json")
+
+    def _ptr():
+        try:
+            with open(pointer) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        from sketchlib.spark.suite_sql import (
+            merge_suite_cells,
+            read_suite_cells,
+            suite_cell_rows,
+            write_suite_cells,
+        )
+
+        cur = _ptr()
+        if cur is not None and epoch_id <= cur["epoch"]:
+            return
+        spark = batch_df.sparkSession
+        new = suite_cell_rows(batch_df, jobs)
+        if cur is not None:
+            new = merge_suite_cells(read_suite_cells(spark, cur["path"]), new)
+        out = os.path.join(root, f"{query_name}.cells.epoch={epoch_id}")
+        write_suite_cells(new, out)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch_id, "path": out}, f)
+        os.replace(tmp, pointer)
+        # GC: keep the new and the immediately previous snapshot
+        keep = {out, cur["path"] if cur else out}
+        prefix = f"{query_name}.cells.epoch="
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if d.startswith(prefix) and full not in keep:
+                shutil.rmtree(full, ignore_errors=True)
+
+    return _apply
+
+
+def run_stream_cells(
+    spark: SparkSession,
+    input_path: str,
+    root: str,
+    jobs: list[SketchJob],
+    checkpoint_dir: str,
+    query_name: str = "cells_build",
+):
+    """Wire stream → cells_sink (the declarative cell-store maintenance
+    job); caller drives with processAllAvailable() or awaitTermination()."""
+    os.makedirs(root, exist_ok=True)
+    stream = read_transcripts_stream(spark, input_path)
+    return (
+        stream.writeStream.foreachBatch(cells_sink(root, jobs, query_name))
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def read_stream_cells(spark: SparkSession, root: str, query_name: str = "cells_build") -> DataFrame:
+    """The latest streamed cell snapshot as a DataFrame (probe it with the
+    declarative probes or materialize kernels via
+    ``suite_sql.materialize_suite_cells``)."""
+    from sketchlib.spark.suite_sql import read_suite_cells
+
+    with open(os.path.join(root, f"{query_name}.cells.json")) as f:
+        ptr = json.load(f)
+    return read_suite_cells(spark, ptr["path"])

@@ -197,3 +197,54 @@ def test_rollup_sink_stream_equals_batch_rollup(spark, tr_dir, tmp_path):
     direct, n2 = merge_range(batch, spec)
     assert streamed.serialize() == direct.serialize()
     assert n1 == n2
+
+
+def test_stream_cells_equals_batch_suite(spark, tr_dir, tmp_path):
+    """The declarative cell-store sink: streaming micro-batch merges must
+    materialize byte-identical kernels to one batch suite build over the
+    whole directory, and a restart on the same checkpoint must not
+    double-fold."""
+    from sketchlib.spark.suite_sql import build_suite_sql, materialize_suite_cells
+    from sketchlib.specs import BloomSpec, TdBloomSpec
+
+    jobs = [
+        SketchJob("hll_conv", HllSpec(p=12), key="conv_id", prehash=True),
+        SketchJob("bloom_conv", BloomSpec(5000, 0.01), key="conv_id", prehash=True),
+        SketchJob(
+            "cms_tool", CmsSpec(epsilon=0.01, delta=0.1), key="tool",
+            prehash=True, low_cardinality=True,
+        ),
+    ]
+    root = str(tmp_path / "cellroot")
+    q = streaming.run_stream_cells(
+        spark, tr_dir, root, jobs, checkpoint_dir=str(tmp_path / "ckpt_cells")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = materialize_suite_cells(
+        streaming.read_stream_cells(spark, root), jobs
+    )
+    batch = build_suite_sql(spark.read.parquet(tr_dir), jobs)
+    for job in jobs:
+        assert streamed[job.name][0].serialize() == batch[job.name][0].serialize(), job.name
+        assert streamed[job.name][1] == batch[job.name][1], job.name
+
+    # restart on the same checkpoint: no new epochs, state unchanged
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(root, "cells_build.cells.json")) as f:
+        before = _json.load(f)
+    q2 = streaming.run_stream_cells(
+        spark, tr_dir, root, jobs, checkpoint_dir=str(tmp_path / "ckpt_cells")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    with open(_os.path.join(root, "cells_build.cells.json")) as f:
+        after = _json.load(f)
+    assert after == before
+    streamed2 = materialize_suite_cells(
+        streaming.read_stream_cells(spark, root), jobs
+    )
+    assert streamed2["bloom_conv"][0].serialize() == batch["bloom_conv"][0].serialize()
