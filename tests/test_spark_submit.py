@@ -79,3 +79,55 @@ def test_spark_submit_py_files_build(tmp_path):
     est = kernel.estimate()
     assert abs(est - 500) / 500 <= 0.05
     assert metrics["rows"] == 5000
+
+
+def test_build_cells_job_incremental(tmp_path):
+    """The declarative cell-store job (jobs/build_cells.py): two
+    incremental runs over split inputs materialize byte-identical kernels
+    to one suite build over the union — the nightly-increment contract."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from sketchlib.jobs.build_cells import main as cells_main
+    from sketchlib.spark import get_spark
+    from sketchlib.spark.agg import SketchJob
+    from sketchlib.spark.suite_sql import (
+        build_suite_sql,
+        materialize_suite_cells,
+        read_suite_cells,
+    )
+    from sketchlib.specs import BloomSpec, HllSpec
+
+    spark = get_spark("build-cells-test", cpus=4, shuffle_partitions=4)
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in rng.integers(0, 400, 3000)],
+            "text": [f"txt {i}" for i in rng.integers(0, 2000, 3000)],
+        }
+    )
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    allp = str(tmp_path / "all.parquet")
+    spark.createDataFrame(pdf.iloc[:1500]).write.parquet(a)
+    spark.createDataFrame(pdf.iloc[1500:]).write.parquet(b)
+    spark.createDataFrame(pdf).write.parquet(allp)
+
+    root = str(tmp_path / "cellroot")
+    jobspec = ["--job", "hll:hll_conv:conv_id",
+               "--job", "bloom:bloom_text:text:expected=5000,accuracy=0.01"]
+    assert cells_main(["--input", a, "--root", root, "--cpus", "4"] + jobspec) == 0
+    assert cells_main(["--input", b, "--root", root, "--cpus", "4"] + jobspec) == 0
+    with open(f"{root}/cells.cells.json") as f:
+        ptr = json.load(f)
+    assert ptr["gen"] == 1
+
+    jobs = [
+        SketchJob("hll_conv", HllSpec(), key="conv_id", prehash=True),
+        SketchJob("bloom_text", BloomSpec(5000, 0.01), key="text", prehash=True),
+    ]
+    stored = materialize_suite_cells(read_suite_cells(spark, ptr["path"]), jobs)
+    whole = build_suite_sql(spark.read.parquet(allp), jobs)
+    for name in ("hll_conv", "bloom_text"):
+        assert stored[name][0].serialize() == whole[name][0].serialize(), name
