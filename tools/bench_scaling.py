@@ -16,6 +16,8 @@ nearly perfectly to 8+ concurrent processes, so remaining inefficiency is
 memory-bandwidth sharing, which real multi-node executors do not share.
 
 Writes BENCH/BASELINE.md.  Usage: python tools/bench_scaling.py
+(`--report-only` regenerates the report from the recorded sample history
+without running any level)
 """
 
 from __future__ import annotations
@@ -195,92 +197,130 @@ def ensure_data(n_conv: int) -> str:
     return path
 
 
-def main() -> None:
-    big = ensure_data(300_000)   # ~9.0M turns
-    small = ensure_data(75_000)  # ~2.25M turns (≈ big/4)
+_LEVEL_NAMES = (
+    "strong_lo", "strong_hi", "weak_lo", "jvm_lo", "jvm_hi",
+    "sql_strong_lo", "sql_strong_hi", "sql_weak_lo",
+    "sql14_strong_lo", "sql14_strong_hi", "sql14_weak_lo",
+)
 
-    sqlc = CHILD_SQL
-    (
-        strong_lo, strong_hi, weak_lo,
-        sql_lo, sql_hi, sql_weak_lo,
-        sql14_lo, sql14_hi, sql14_weak_lo,
-    ) = run_level_interleaved(
-        [
-            (2, big),
-            (8, big),
-            (2, small),
-            (2, big, sqlc),
-            (8, big, sqlc),
-            (2, small, sqlc),
-            # the 1→4 pair: the cleanest single-box N→4N proxy — 4 hot
-            # threads leave the shared-DRAM ceiling mostly untouched,
-            # where the 2→8 pair (16 hot threads incl. JVM helpers) is
-            # capped by it (kernel-only control 0.61, BENCH/BASELINE.md)
-            (1, big, sqlc),
-            (4, big, sqlc),
-            (1, small, sqlc),
-        ]
-    )
-    # JVM-only control: the prehash build's codegen half (scan + xxhash64 +
-    # hash-aggregate, zero Python) at the same two levels — its efficiency
-    # is the ceiling the box imposes before any engine Python runs
-    jvm_lo = run_level(2, big, 3, child=CHILD_JVM)
-    jvm_hi = run_level(8, big, 3, child=CHILD_JVM)
 
-    # accumulate raw samples across invocations: tenant bursts here span
-    # minutes and can poison a whole run (one window measured 142 s for a
-    # 5 s build); the honest engine number is the min over ALL recorded
-    # samples, with every sample kept in the cache file
-    cache_f = f"{REPO}/BENCH/scaling_samples.json"
-    hist = {}
-    if os.path.exists(cache_f):
-        with open(cache_f) as f:
-            hist = json.load(f)
-    # stamp samples with the code version: an all-time min can mask a code
-    # regression (stale fast samples from an older HEAD), so we keep a
-    # per-head breakdown and report current-head mins alongside
+def _git_head() -> str:
     import subprocess
 
     try:
-        head = subprocess.run(
+        return subprocess.run(
             ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, check=True,
         ).stdout.strip()
     except Exception:  # noqa: BLE001
-        head = "unknown"
-    for name, res, MODE in (
-        ("strong_lo", strong_lo, "prehash"),
-        ("strong_hi", strong_hi, "prehash"),
-        ("weak_lo", weak_lo, "prehash"),
-        ("jvm_lo", jvm_lo, "prehash"),
-        ("jvm_hi", jvm_hi, "prehash"),
-        ("sql_strong_lo", sql_lo, "sql-lc"),
-        ("sql_strong_hi", sql_hi, "sql-lc"),
-        ("sql_weak_lo", sql_weak_lo, "sql-lc"),
-        ("sql14_strong_lo", sql14_lo, "sql-lc"),
-        ("sql14_strong_hi", sql14_hi, "sql-lc"),
-        ("sql14_weak_lo", sql14_weak_lo, "sql-lc"),
-    ):
-        h = hist.setdefault(name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE})
-        if (
-            h.get("rows") != res["rows"]
-            or h.get("cpus") != res["cpus"]
-            or h.get("mode") != MODE
+        return "unknown"
+
+
+def main(report_only: bool = False) -> None:
+    cache_f = f"{REPO}/BENCH/scaling_samples.json"
+    head = _git_head()
+
+    if report_only:
+        # `--report-only`: regenerate BENCH/BASELINE.md from the recorded
+        # sample history without re-running any level — the converged
+        # report after background accumulation runs.
+        with open(cache_f) as f:
+            hist = json.load(f)
+        res_by_name = {}
+        for name in _LEVEL_NAMES:
+            h = hist[name]
+            best = min(h["samples"])
+            heads = h.get("by_head", {})
+            res_by_name[name] = {
+                "cpus": h["cpus"],
+                "rows": h["rows"],
+                "suite_sec": best,
+                "turns_per_sec": round(h["rows"] / best),
+                "samples": h["samples"],
+                "suite_sec_this_head": min(heads.get(head, h["samples"])),
+            }
+        (
+            strong_lo, strong_hi, weak_lo, jvm_lo, jvm_hi,
+            sql_lo, sql_hi, sql_weak_lo,
+            sql14_lo, sql14_hi, sql14_weak_lo,
+        ) = (res_by_name[n] for n in _LEVEL_NAMES)
+    else:
+        big = ensure_data(300_000)   # ~9.0M turns
+        small = ensure_data(75_000)  # ~2.25M turns (≈ big/4)
+
+        sqlc = CHILD_SQL
+        (
+            strong_lo, strong_hi, weak_lo,
+            sql_lo, sql_hi, sql_weak_lo,
+            sql14_lo, sql14_hi, sql14_weak_lo,
+        ) = run_level_interleaved(
+            [
+                (2, big),
+                (8, big),
+                (2, small),
+                (2, big, sqlc),
+                (8, big, sqlc),
+                (2, small, sqlc),
+                # the 1→4 pair: the cleanest single-box N→4N proxy — 4 hot
+                # threads leave the shared-DRAM ceiling mostly untouched,
+                # where the 2→8 pair (16 hot threads incl. JVM helpers) is
+                # capped by it (kernel-only control 0.61, BENCH/BASELINE.md)
+                (1, big, sqlc),
+                (4, big, sqlc),
+                (1, small, sqlc),
+            ]
+        )
+        # JVM-only control: the prehash build's codegen half (scan +
+        # xxhash64 + hash-aggregate, zero Python) at the same two levels —
+        # its efficiency is the ceiling the box imposes before any engine
+        # Python runs
+        jvm_lo = run_level(2, big, 3, child=CHILD_JVM)
+        jvm_hi = run_level(8, big, 3, child=CHILD_JVM)
+
+        # accumulate raw samples across invocations: tenant bursts here
+        # span minutes and can poison a whole run (one window measured
+        # 142 s for a 5 s build); the honest engine number is the min over
+        # ALL recorded samples, with every sample kept in the cache file
+        hist = {}
+        if os.path.exists(cache_f):
+            with open(cache_f) as f:
+                hist = json.load(f)
+        # stamp samples with the code version: an all-time min can mask a
+        # code regression (stale fast samples from an older HEAD), so we
+        # keep a per-head breakdown and report current-head mins alongside
+        for name, res, MODE in (
+            ("strong_lo", strong_lo, "prehash"),
+            ("strong_hi", strong_hi, "prehash"),
+            ("weak_lo", weak_lo, "prehash"),
+            ("jvm_lo", jvm_lo, "prehash"),
+            ("jvm_hi", jvm_hi, "prehash"),
+            ("sql_strong_lo", sql_lo, "sql-lc"),
+            ("sql_strong_hi", sql_hi, "sql-lc"),
+            ("sql_weak_lo", sql_weak_lo, "sql-lc"),
+            ("sql14_strong_lo", sql14_lo, "sql-lc"),
+            ("sql14_strong_hi", sql14_hi, "sql-lc"),
+            ("sql14_weak_lo", sql14_weak_lo, "sql-lc"),
         ):
-            # dataset/level geometry or build mode changed: old samples
-            # describe a different workload — start the entry over instead
-            # of merging mismatched rows/min
-            h = hist[name] = {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE}
-        h["samples"] += res["samples"]
-        h.setdefault("by_head", {}).setdefault(head, []).extend(res["samples"])
-        best = min(h["samples"])
-        res["suite_sec"] = best
-        res["turns_per_sec"] = round(res["rows"] / best)
-        res["suite_sec_this_head"] = min(h["by_head"][head])
-        res["samples"] = h["samples"]
-    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(cache_f, "w") as f:
-        json.dump(hist, f, indent=1)
+            h = hist.setdefault(name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE})
+            if (
+                h.get("rows") != res["rows"]
+                or h.get("cpus") != res["cpus"]
+                or h.get("mode") != MODE
+            ):
+                # dataset/level geometry or build mode changed: old samples
+                # describe a different workload — start the entry over
+                # instead of merging mismatched rows/min
+                h = hist[name] = {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE}
+            h["samples"] += res["samples"]
+            h.setdefault("by_head", {}).setdefault(head, []).extend(res["samples"])
+            best = min(h["samples"])
+            res["suite_sec"] = best
+            res["turns_per_sec"] = round(res["rows"] / best)
+            res["suite_sec_this_head"] = min(h["by_head"][head])
+            res["samples"] = h["samples"]
+        os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+        with open(cache_f, "w") as f:
+            json.dump(hist, f, indent=1)
     strong_eff = (strong_lo["suite_sec"] / strong_hi["suite_sec"]) / 4
     weak_eff = weak_lo["suite_sec"] / strong_hi["suite_sec"]
     jvm_eff = (jvm_lo["suite_sec"] / jvm_hi["suite_sec"]) / 4
@@ -448,4 +488,4 @@ Regenerate: `python tools/bench_scaling.py` (this file) and
 
 
 if __name__ == "__main__":
-    main()
+    main(report_only="--report-only" in sys.argv[1:])
