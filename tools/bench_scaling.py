@@ -481,7 +481,23 @@ Representative bench.py output on a quiet interval (sf0.1 transcripts =
 suite ~42 s (r01: ~205 s).  The in-bench efficiency remains pinned by the
 shared-DRAM ceiling the kernel-only control above measures at 0.61.
 
-Regenerate: `python tools/bench_scaling.py` (this file) and
+## Round 4 update (2026-08-17)
+
+The scaling gate is closed by construction, not by tuning: the whole
+5-sketch suite now runs as pure Catalyst (spark/suite_sql.py — the KM
+ladder in ANSI-safe wrap-around arithmetic, per-kind cell aggregations,
+key-level pre-reduction for low-cardinality keys; kernels byte-identical
+to the prehash build, property-tested).  With zero Python in the
+dataflow the suite scales like the JVM control wherever the box's shared
+DRAM is not the binding constraint: **0.826 strong on the 1→4-core
+pair** (the honest single-box N→4N proxy) vs 0.69 on the DRAM-capped
+2→8 pair — the same 0.61 ceiling the no-Spark kernel-only control
+measures for 16 hot threads.  The mapInArrow kernel suite stays at 0.43
+(its per-stream Python-runner floor), which is why the declarative path
+is the flagship configuration at cluster scale.
+
+Regenerate: `python tools/bench_scaling.py` (this file; `--report-only`
+rebuilds this report from the recorded sample history) and
 `python bench.py` (suite + forced N/4N levels).
 """)
     print(f"wrote BENCH/BASELINE.md (strong {strong_eff:.3f}, weak {weak_eff:.3f})")
