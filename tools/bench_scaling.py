@@ -321,6 +321,43 @@ def main(report_only: bool = False) -> None:
         os.makedirs(f"{REPO}/BENCH", exist_ok=True)
         with open(cache_f, "w") as f:
             json.dump(hist, f, indent=1)
+    # multi-executor (spark-submit local-cluster) history, if
+    # tools/bench_cluster.py has accumulated it — 1 vs 4 worker JVMs
+    lc_rows_md, lc_cluster = "", None
+    try:
+        with open(cache_f) as f:
+            hist_lc = json.load(f)
+
+        def _lc(name: str) -> dict:
+            h = hist_lc[name]
+            if h.get("mode") != "sql-lc-cluster" or not h.get("samples"):
+                raise KeyError(name)
+            best = min(h["samples"])
+            return {
+                "cpus": h["cpus"], "rows": h["rows"], "suite_sec": best,
+                "turns_per_sec": round(h["rows"] / best), "n": len(h["samples"]),
+            }
+
+        lc_lo, lc_hi, lc_wk = _lc("lc_strong_lo"), _lc("lc_strong_hi"), _lc("lc_weak_lo")
+        lc_strong_eff = (lc_lo["suite_sec"] / lc_hi["suite_sec"]) / 4
+        lc_weak_eff = lc_wk["suite_sec"] / lc_hi["suite_sec"]
+        lc_cluster = {
+            "low": lc_lo, "high": lc_hi, "weak_low": lc_wk,
+            "efficiency": round(lc_strong_eff, 3),
+            "weak_efficiency": round(lc_weak_eff, 3),
+        }
+        lc_rows_md = (
+            f"| **SQL suite, strong — MULTI-EXECUTOR** ({lc_lo['rows']:,} turns both; "
+            f"spark-submit --py-files, separate worker JVMs — tools/bench_cluster.py; "
+            f"{lc_lo['n']}+{lc_hi['n']} samples) | local-cluster[1,1] | local-cluster[4,1] | "
+            f"{lc_lo['suite_sec']} s | {lc_hi['suite_sec']} s | {lc_lo['turns_per_sec']:,} | "
+            f"{lc_hi['turns_per_sec']:,} | **{lc_strong_eff:.3f}** |\n"
+            f"| **SQL suite, weak — MULTI-EXECUTOR** ({lc_wk['rows']:,} vs {lc_hi['rows']:,} turns) | "
+            f"local-cluster[1,1] | local-cluster[4,1] | {lc_wk['suite_sec']} s | {lc_hi['suite_sec']} s | "
+            f"{lc_wk['turns_per_sec']:,} | {lc_hi['turns_per_sec']:,} | **{lc_weak_eff:.3f}** |\n"
+        )
+    except (OSError, KeyError, ValueError):
+        pass
     strong_eff = (strong_lo["suite_sec"] / strong_hi["suite_sec"]) / 4
     weak_eff = weak_lo["suite_sec"] / strong_hi["suite_sec"]
     jvm_eff = (jvm_lo["suite_sec"] / jvm_hi["suite_sec"]) / 4
@@ -349,6 +386,8 @@ def main(report_only: bool = False) -> None:
         "jvm_control": {"low": jvm_lo, "high": jvm_hi,
                         "efficiency": round(jvm_eff, 3)},
     }
+    if lc_cluster:
+        result["cluster"] = lc_cluster
     print(json.dumps(result))
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
@@ -372,7 +411,7 @@ columns cross to Python; sketchlib/spark/prehash.py).  The mmh3-parity mode
 |---|---|---|---|---|---|---|---|
 | **SQL suite, strong** ({sql14_lo['rows']:,} turns both; pure-Catalyst, zero Python — spark/suite_sql.py, the flagship) | local[1] | local[4] | {sql14_lo['suite_sec']} s | {sql14_hi['suite_sec']} s | {sql14_lo['turns_per_sec']:,} | {sql14_hi['turns_per_sec']:,} | **{sql14_strong_eff:.3f}** |
 | **SQL suite, weak** ({sql14_weak_lo['rows']:,} vs {sql14_hi['rows']:,} turns) | local[1] | local[4] | {sql14_weak_lo['suite_sec']} s | {sql14_hi['suite_sec']} s | {sql14_weak_lo['turns_per_sec']:,} | {sql14_hi['turns_per_sec']:,} | **{sql14_weak_eff:.3f}** |
-| SQL suite, strong — DRAM-capped pair ({sql_lo['rows']:,} turns both; 16 hot threads share the box's memory controllers — see the controls below) | local[2] | local[8] | {sql_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_strong_eff:.3f}** |
+{lc_rows_md}| SQL suite, strong — DRAM-capped pair ({sql_lo['rows']:,} turns both; 16 hot threads share the box's memory controllers — see the controls below) | local[2] | local[8] | {sql_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_strong_eff:.3f}** |
 | SQL suite, weak ({sql_weak_lo['rows']:,} vs {sql_hi['rows']:,} turns) | local[2] | local[8] | {sql_weak_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_weak_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_weak_eff:.3f}** |
 | prehash kernel suite, strong ({strong_lo['rows']:,} turns both) | local[2] | local[8] | {strong_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {strong_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{strong_eff:.3f}** |
 | prehash kernel suite, weak ({weak_lo['rows']:,} vs {strong_hi['rows']:,} turns) | local[2] | local[8] | {weak_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {weak_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{weak_eff:.3f}** |
@@ -496,9 +535,18 @@ measures for 16 hot threads.  The mapInArrow kernel suite stays at 0.43
 (its per-stream Python-runner floor), which is why the declarative path
 is the flagship configuration at cluster scale.
 
+Multi-executor topology: tools/bench_cluster.py submits the same sql
+suite via the real `spark-submit --py-files sketchlib.zip` path at
+`local-cluster[1,1,4096]` vs `local-cluster[4,1,4096]` — 1 vs 4 SEPARATE
+worker JVMs (own heaps, task threads, shuffle clients, RPC to the
+driver): the literal N vs 4N EXECUTORS pairing of the north rule, minus
+only the inter-host network.  Its rows appear in the table above once
+history has accumulated (levels lc_*, mode sql-lc-cluster).
+
 Regenerate: `python tools/bench_scaling.py` (this file; `--report-only`
 rebuilds this report from the recorded sample history) and
-`python bench.py` (suite + forced N/4N levels).
+`python bench.py` (suite + forced N/4N levels);
+`python tools/bench_cluster.py` accumulates the multi-executor levels.
 """)
     print(f"wrote BENCH/BASELINE.md (strong {strong_eff:.3f}, weak {weak_eff:.3f})")
 
