@@ -131,3 +131,47 @@ def test_build_cells_job_incremental(tmp_path):
     whole = build_suite_sql(spark.read.parquet(allp), jobs)
     for name in ("hll_conv", "bloom_text"):
         assert stored[name][0].serialize() == whole[name][0].serialize(), name
+
+
+@pytest.mark.skipif(
+    shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
+)
+def test_cluster_child_multi_executor(tmp_path):
+    """The multi-executor scaling child (tools/cluster_child.py) submitted
+    at local-cluster[2,1,1024]: two SEPARATE worker JVMs must register and
+    the suite must complete with a RESULT line — the same path
+    tools/bench_cluster.py times at 1 vs 4 executors."""
+    import json
+
+    zpath = _zip_package(str(tmp_path))
+    sys.path.insert(0, REPO)
+    from sketchlib.testdata import write_transcripts_parquet
+
+    inp = str(tmp_path / "tiny_transcripts.parquet")
+    write_transcripts_parquet(inp, n_conversations=200, seed=7)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local-cluster[2,1,1024]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.executor.memory=768m",
+            "--py-files", zpath,
+            os.path.join(REPO, "tools", "cluster_child.py"),
+            inp, "1", "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),  # NOT the repo — sketchlib must come from the zip
+        env=env,
+    )
+    assert out.returncode == 0, out.stdout[-1500:] + out.stderr[-1500:]
+    results = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+    assert results, out.stdout[-1500:]
+    r = json.loads(results[0][len("RESULT "):])
+    assert r["executors"] == 2
+    assert r["rows"] > 0 and r["suite_sec"] > 0
