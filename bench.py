@@ -214,6 +214,7 @@ def bench_transcripts(spark) -> dict:
     eff_prehash = None
     eff_sql = None
     eff_sql_weak = None
+    eff_sql_weak_fg = None
     eff_cluster = None
     eff_cluster_weak = None
     samples_f = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -264,6 +265,11 @@ def bench_transcripts(spark) -> dict:
             )
             if sw_lo:
                 eff_sql_weak = round(sw_lo / s_hi, 3)
+            # constant-work weak variant: 4N-level sketch geometry held
+            # fixed while the data shrinks to N's share
+            fgw_lo, _ = _hist_min("sql14_weak_lo_fg", "sql-lc-fg")
+            if fgw_lo and pair == "1->4":
+                eff_sql_weak_fg = round(fgw_lo / s_hi, 3)
         # multi-executor evidence (tools/bench_cluster.py): the same sql
         # suite submitted via spark-submit --py-files at local-cluster
         # 1 vs 4 worker JVMs — the literal N vs 4N EXECUTORS pairing.
@@ -311,6 +317,7 @@ def bench_transcripts(spark) -> dict:
         "scaling_efficiency_in_run": eff_in_run,
         "scaling_efficiency_sql": eff_sql,
         "scaling_efficiency_sql_weak": eff_sql_weak,
+        "scaling_efficiency_sql_weak_fixed_geometry": eff_sql_weak_fg,
         "scaling_efficiency_cluster": eff_cluster,
         "scaling_efficiency_cluster_weak": eff_cluster_weak,
         "scaling_efficiency_prehash": eff_prehash,

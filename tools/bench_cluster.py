@@ -61,7 +61,9 @@ def build_zip() -> str:
     return out
 
 
-def submit_level(workers: int, path: str, reps: int, zip_path: str) -> dict:
+def submit_level(
+    workers: int, path: str, reps: int, zip_path: str, spec_rows: int = 0
+) -> dict:
     """One spark-submit run at ``local-cluster[workers,1,4096]``."""
     master = f"local-cluster[{workers},1,4096]"
     env = dict(os.environ)
@@ -76,7 +78,7 @@ def submit_level(workers: int, path: str, reps: int, zip_path: str) -> dict:
         "--py-files", zip_path,
         os.path.join(REPO, "tools", "cluster_child.py"),
         path, str(reps), str(workers),
-    ]
+    ] + ([str(spec_rows)] if spec_rows else [])
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, env=env)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -101,8 +103,15 @@ def _git_head() -> str:
         return "unknown"
 
 
-LEVELS = ("lc_strong_lo", "lc_strong_hi", "lc_weak_lo")
-MODE = "sql-lc-cluster"
+# name -> (workers, which-table, spec_rows-override, history mode)
+BIG_ROWS = 8_985_625
+LEVELS = {
+    "lc_strong_lo": (1, "big", 0, "sql-lc-cluster"),
+    "lc_strong_hi": (4, "big", 0, "sql-lc-cluster"),
+    "lc_weak_lo": (1, "small", 0, "sql-lc-cluster"),
+    # constant-work weak variant: quarter data, 4N-level sketch geometry
+    "lc_weak_lo_fg": (1, "small", BIG_ROWS, "sql-lc-cluster-fg"),
+}
 
 
 def main() -> None:
@@ -116,11 +125,11 @@ def main() -> None:
     zip_path = build_zip()
     head = _git_head()
 
-    specs = [("lc_strong_lo", 1, big), ("lc_strong_hi", 4, big), ("lc_weak_lo", 1, small)]
+    tables = {"big": big, "small": small}
     best: dict[str, dict] = {}
     for rnd in range(args.rounds):
-        for name, workers, path in specs:
-            r = submit_level(workers, path, args.reps, zip_path)
+        for name, (workers, tbl, spec_rows, _mode) in LEVELS.items():
+            r = submit_level(workers, tables[tbl], args.reps, zip_path, spec_rows)
             cur = best.get(name)
             if cur is None or r["suite_sec"] < cur["suite_sec"]:
                 samples = (cur or {}).get("samples", []) + r["samples"]
@@ -135,14 +144,14 @@ def main() -> None:
     if os.path.exists(cache_f):
         with open(cache_f) as f:
             hist = json.load(f)
-    for name in LEVELS:
+    for name, (_workers, _tbl, _spec_rows, mode) in LEVELS.items():
         res = best[name]
         h = hist.setdefault(
-            name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE}
+            name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": mode}
         )
-        if h.get("rows") != res["rows"] or h.get("cpus") != res["cpus"] or h.get("mode") != MODE:
+        if h.get("rows") != res["rows"] or h.get("cpus") != res["cpus"] or h.get("mode") != mode:
             h = hist[name] = {
-                "samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE,
+                "samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": mode,
             }
         h["executors"] = res["executors"]
         h["samples"] += res["samples"]
@@ -152,15 +161,19 @@ def main() -> None:
     with open(cache_f, "w") as f:
         json.dump(hist, f, indent=1)
 
-    lo, hi, wk = (best[n] for n in LEVELS)
+    lo, hi, wk, wk_fg = (best[n] for n in LEVELS)
     strong = (lo["suite_sec"] / hi["suite_sec"]) / 4
     weak = wk["suite_sec"] / hi["suite_sec"]
+    weak_fg = wk_fg["suite_sec"] / hi["suite_sec"]
     print(json.dumps({
         "master_lo": "local-cluster[1,1,4096]",
         "master_hi": "local-cluster[4,1,4096]",
         "submit": "spark-submit --py-files sketchlib.zip tools/cluster_child.py",
         "strong": {"low": lo, "high": hi, "efficiency": round(strong, 3)},
         "weak": {"low": wk, "high": hi, "efficiency": round(weak, 3)},
+        "weak_constant_work": {
+            "low": wk_fg, "high": hi, "efficiency": round(weak_fg, 3),
+        },
     }))
 
 

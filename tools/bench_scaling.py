@@ -88,6 +88,12 @@ spark = get_spark(f"scaling-sql-{cpus}", cpus=cpus)
 tr = spark.read.parquet(path)
 n = tr.count()  # warm page cache
 T0 = 1767225600
+# optional argv[4]: size the bloom for THAT many rows instead of the
+# input's own count — the constant-work weak-scaling variant (the 4N
+# level's production sketch geometry held fixed while the data shrinks
+# to N's share, so per-core work is actually constant; the data-sized
+# variant additionally grows the sketch itself with the data)
+spec_rows = int(sys.argv[4]) if len(sys.argv) > 4 else n
 # the pure-Catalyst suite (spark/suite_sql.py): identical sketch geometry
 # and hash family to the prehash CHILD above, but the whole dataflow is
 # whole-stage codegen + one hash aggregate - zero Python, so it should
@@ -99,7 +105,7 @@ jobs = [
     SketchJob("hll_conv_tool", HllSpec(p=14),
               key=F.concat_ws("\x00", F.col("conv_id"), F.col("tool")),
               prehash=True),
-    SketchJob("bloom_text", BloomSpec(max(n, 1000), 0.01), key="text",
+    SketchJob("bloom_text", BloomSpec(max(spec_rows, 1000), 0.01), key="text",
               prehash=True),
     SketchJob("cms_tool", CmsSpec(epsilon=0.0005, delta=0.01), key="tool",
               prehash=True, low_cardinality=True),
@@ -154,9 +160,12 @@ print("RESULT " + json.dumps({"cpus": cpus, "rows": n,
 """
 
 
-def run_level(cpus: int, path: str, reps: int = 5, child: str = None) -> dict:
+def run_level(
+    cpus: int, path: str, reps: int = 5, child: str = None, extra: tuple = ()
+) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", (child or CHILD) % {"repo": REPO}, str(cpus), path, str(reps)],
+        [sys.executable, "-c", (child or CHILD) % {"repo": REPO},
+         str(cpus), path, str(reps), *[str(x) for x in extra]],
         capture_output=True, text=True, timeout=1800,
     )
     for line in out.stdout.splitlines():
@@ -176,8 +185,8 @@ def run_level_interleaved(
     best: list[dict | None] = [None] * len(levels)
     for _ in range(rounds):
         for i, lvl in enumerate(levels):
-            cpus, path, child = (*lvl, None)[:3]
-            r = run_level(cpus, path, reps, child=child)
+            cpus, path, child, extra = (*lvl, None, None)[:4]
+            r = run_level(cpus, path, reps, child=child, extra=extra or ())
             if best[i] is None or r["suite_sec"] < best[i]["suite_sec"]:
                 samples = (best[i] or {}).get("samples", []) + r["samples"]
                 r["samples"] = samples
@@ -244,6 +253,16 @@ def main(report_only: bool = False) -> None:
             sql_lo, sql_hi, sql_weak_lo,
             sql14_lo, sql14_hi, sql14_weak_lo,
         ) = (res_by_name[n] for n in _LEVEL_NAMES)
+        # optional levels (history may predate them)
+        sql14_weak_lo_fg = None
+        h_fg = hist.get("sql14_weak_lo_fg", {})
+        if h_fg.get("mode") == "sql-lc-fg" and h_fg.get("samples"):
+            best = min(h_fg["samples"])
+            sql14_weak_lo_fg = {
+                "cpus": h_fg["cpus"], "rows": h_fg["rows"], "suite_sec": best,
+                "turns_per_sec": round(h_fg["rows"] / best),
+                "samples": h_fg["samples"],
+            }
     else:
         big = ensure_data(300_000)   # ~9.0M turns
         small = ensure_data(75_000)  # ~2.25M turns (≈ big/4)
@@ -253,6 +272,7 @@ def main(report_only: bool = False) -> None:
             strong_lo, strong_hi, weak_lo,
             sql_lo, sql_hi, sql_weak_lo,
             sql14_lo, sql14_hi, sql14_weak_lo,
+            sql14_weak_lo_fg,
         ) = run_level_interleaved(
             [
                 (2, big),
@@ -268,6 +288,12 @@ def main(report_only: bool = False) -> None:
                 (1, big, sqlc),
                 (4, big, sqlc),
                 (1, small, sqlc),
+                # constant-work weak-scaling variant: quarter data with the
+                # 4N level's sketch geometry held fixed (bloom sized for
+                # the big table), so per-core work is actually constant —
+                # the data-sized variant above additionally grows the
+                # sketch with the data (capacity-growth scenario)
+                (1, small, sqlc, (8_985_625,)),
             ]
         )
         # JVM-only control: the prehash build's codegen half (scan +
@@ -300,6 +326,7 @@ def main(report_only: bool = False) -> None:
             ("sql14_strong_lo", sql14_lo, "sql-lc"),
             ("sql14_strong_hi", sql14_hi, "sql-lc"),
             ("sql14_weak_lo", sql14_weak_lo, "sql-lc"),
+            ("sql14_weak_lo_fg", sql14_weak_lo_fg, "sql-lc-fg"),
         ):
             h = hist.setdefault(name, {"samples": [], "rows": res["rows"], "cpus": res["cpus"], "mode": MODE})
             if (
@@ -328,15 +355,18 @@ def main(report_only: bool = False) -> None:
         with open(cache_f) as f:
             hist_lc = json.load(f)
 
-        def _lc(name: str) -> dict:
+        def _lc_mode(name: str, mode: str) -> dict:
             h = hist_lc[name]
-            if h.get("mode") != "sql-lc-cluster" or not h.get("samples"):
+            if h.get("mode") != mode or not h.get("samples"):
                 raise KeyError(name)
             best = min(h["samples"])
             return {
                 "cpus": h["cpus"], "rows": h["rows"], "suite_sec": best,
                 "turns_per_sec": round(h["rows"] / best), "n": len(h["samples"]),
             }
+
+        def _lc(name: str) -> dict:
+            return _lc_mode(name, "sql-lc-cluster")
 
         lc_lo, lc_hi, lc_wk = _lc("lc_strong_lo"), _lc("lc_strong_hi"), _lc("lc_weak_lo")
         lc_strong_eff = (lc_lo["suite_sec"] / lc_hi["suite_sec"]) / 4
@@ -356,6 +386,21 @@ def main(report_only: bool = False) -> None:
             f"local-cluster[1,1] | local-cluster[4,1] | {lc_wk['suite_sec']} s | {lc_hi['suite_sec']} s | "
             f"{lc_wk['turns_per_sec']:,} | {lc_hi['turns_per_sec']:,} | **{lc_weak_eff:.3f}** |\n"
         )
+        try:
+            lc_fg = _lc_mode("lc_weak_lo_fg", "sql-lc-cluster-fg")
+            lc_weak_fg_eff = lc_fg["suite_sec"] / lc_hi["suite_sec"]
+            lc_cluster["weak_constant_work"] = {
+                "low": lc_fg, "efficiency": round(lc_weak_fg_eff, 3),
+            }
+            lc_rows_md += (
+                f"| **SQL suite, weak constant-work — MULTI-EXECUTOR** ({lc_fg['rows']:,} vs "
+                f"{lc_hi['rows']:,} turns, 4N sketch geometry fixed) | local-cluster[1,1] | "
+                f"local-cluster[4,1] | {lc_fg['suite_sec']} s | {lc_hi['suite_sec']} s | "
+                f"{lc_fg['turns_per_sec']:,} | {lc_hi['turns_per_sec']:,} | "
+                f"**{lc_weak_fg_eff:.3f}** |\n"
+            )
+        except (KeyError, ValueError):
+            pass
     except (OSError, KeyError, ValueError):
         pass
     strong_eff = (strong_lo["suite_sec"] / strong_hi["suite_sec"]) / 4
@@ -365,6 +410,21 @@ def main(report_only: bool = False) -> None:
     sql_weak_eff = sql_weak_lo["suite_sec"] / sql_hi["suite_sec"]
     sql14_strong_eff = (sql14_lo["suite_sec"] / sql14_hi["suite_sec"]) / 4
     sql14_weak_eff = sql14_weak_lo["suite_sec"] / sql14_hi["suite_sec"]
+    sql14_weak_fg_eff = (
+        sql14_weak_lo_fg["suite_sec"] / sql14_hi["suite_sec"]
+        if sql14_weak_lo_fg
+        else None
+    )
+    fg_row_md = (
+        f"| **SQL suite, weak — constant work** ({sql14_weak_lo_fg['rows']:,} vs "
+        f"{sql14_hi['rows']:,} turns, 4N-level sketch geometry held fixed — per-core "
+        f"work constant by construction) | local[1] | local[4] | "
+        f"{sql14_weak_lo_fg['suite_sec']} s | {sql14_hi['suite_sec']} s | "
+        f"{sql14_weak_lo_fg['turns_per_sec']:,} | {sql14_hi['turns_per_sec']:,} | "
+        f"**{sql14_weak_fg_eff:.3f}** |\n"
+        if sql14_weak_lo_fg
+        else ""
+    )
     tps_ratio = strong_hi["turns_per_sec"] / weak_lo["turns_per_sec"]
     strong_eff_head = (
         strong_lo["suite_sec_this_head"] / strong_hi["suite_sec_this_head"]
@@ -381,6 +441,12 @@ def main(report_only: bool = False) -> None:
                      "efficiency": round(sql_weak_eff, 3)},
         "sql14_strong": {"low": sql14_lo, "high": sql14_hi,
                          "efficiency": round(sql14_strong_eff, 3)},
+        "sql14_weak_fg": (
+            {"low": sql14_weak_lo_fg, "high": sql14_hi,
+             "efficiency": round(sql14_weak_fg_eff, 3)}
+            if sql14_weak_lo_fg
+            else None
+        ),
         "sql14_weak": {"low": sql14_weak_lo, "high": sql14_hi,
                        "efficiency": round(sql14_weak_eff, 3)},
         "jvm_control": {"low": jvm_lo, "high": jvm_hi,
@@ -411,7 +477,7 @@ columns cross to Python; sketchlib/spark/prehash.py).  The mmh3-parity mode
 |---|---|---|---|---|---|---|---|
 | **SQL suite, strong** ({sql14_lo['rows']:,} turns both; pure-Catalyst, zero Python — spark/suite_sql.py, the flagship) | local[1] | local[4] | {sql14_lo['suite_sec']} s | {sql14_hi['suite_sec']} s | {sql14_lo['turns_per_sec']:,} | {sql14_hi['turns_per_sec']:,} | **{sql14_strong_eff:.3f}** |
 | **SQL suite, weak** ({sql14_weak_lo['rows']:,} vs {sql14_hi['rows']:,} turns) | local[1] | local[4] | {sql14_weak_lo['suite_sec']} s | {sql14_hi['suite_sec']} s | {sql14_weak_lo['turns_per_sec']:,} | {sql14_hi['turns_per_sec']:,} | **{sql14_weak_eff:.3f}** |
-{lc_rows_md}| SQL suite, strong — DRAM-capped pair ({sql_lo['rows']:,} turns both; 16 hot threads share the box's memory controllers — see the controls below) | local[2] | local[8] | {sql_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_strong_eff:.3f}** |
+{fg_row_md}{lc_rows_md}| SQL suite, strong — DRAM-capped pair ({sql_lo['rows']:,} turns both; 16 hot threads share the box's memory controllers — see the controls below) | local[2] | local[8] | {sql_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_strong_eff:.3f}** |
 | SQL suite, weak ({sql_weak_lo['rows']:,} vs {sql_hi['rows']:,} turns) | local[2] | local[8] | {sql_weak_lo['suite_sec']} s | {sql_hi['suite_sec']} s | {sql_weak_lo['turns_per_sec']:,} | {sql_hi['turns_per_sec']:,} | **{sql_weak_eff:.3f}** |
 | prehash kernel suite, strong ({strong_lo['rows']:,} turns both) | local[2] | local[8] | {strong_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {strong_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{strong_eff:.3f}** |
 | prehash kernel suite, weak ({weak_lo['rows']:,} vs {strong_hi['rows']:,} turns) | local[2] | local[8] | {weak_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {weak_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{weak_eff:.3f}** |

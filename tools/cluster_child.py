@@ -28,6 +28,9 @@ import time
 
 def main() -> None:
     path, reps, cores = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    # optional argv[4]: bloom sized for THAT many rows (constant-work
+    # weak-scaling variant); defaults to the input's own count
+    spec_rows = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -61,7 +64,12 @@ def main() -> None:
             key=F.concat_ws("\x00", F.col("conv_id"), F.col("tool")),
             prehash=True,
         ),
-        SketchJob("bloom_text", BloomSpec(max(n, 1000), 0.01), key="text", prehash=True),
+        SketchJob(
+            "bloom_text",
+            BloomSpec(max(spec_rows or n, 1000), 0.01),
+            key="text",
+            prehash=True,
+        ),
         SketchJob(
             "cms_tool",
             CmsSpec(epsilon=0.0005, delta=0.01),
