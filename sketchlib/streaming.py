@@ -247,6 +247,132 @@ def conversation_state(stream: DataFrame, timeout_ms: int = 60_000) -> DataFrame
     )
 
 
+_DEDUP_STATE_SCHEMA = "bits binary, n_emitted long"
+
+
+def _make_dedup_fn(spec_json: str, out_cols: list[str], reset_pct: float | None):
+    """Per-shard stateful fn: bloom/tdbloom bitmap lives in the group state,
+    first-seen rows pass through.  Defined at module scope (not a closure
+    over kernels) so the state round-trips through serialize()/deserialize()
+    exactly like the store does — a worker restart resumes from bytes."""
+
+    def _dedup_fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pyarrow as pa
+
+        from sketchlib import mmh3
+        from sketchlib.kernels import KERNEL_BY_KIND
+        from sketchlib.specs import BaseSpec
+
+        spec = BaseSpec.from_json(spec_json)
+        timed = spec.kind == "tdbloom"
+        if state.exists:
+            blob, n_emitted = state.get
+            kernel = KERNEL_BY_KIND[spec.kind].deserialize(spec, bytes(blob))
+        else:
+            kernel, n_emitted = KERNEL_BY_KIND[spec.kind](spec), 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            keys = pdf["__key"].fillna("")
+            data, offsets = mmh3.arrow_string_buffers(
+                pa.Array.from_pandas(keys, type=pa.string())
+            )
+            if timed:
+                # exact per-event-time semantics: probe/stamp in ascending
+                # per-second groups (micro-batches span few distinct seconds)
+                ts = pdf["__ts_sec"].to_numpy()
+                seen = np.empty(len(pdf), dtype=bool)
+                order = np.argsort(ts, kind="stable")
+                bounds = np.flatnonzero(
+                    np.diff(ts[order], prepend=np.int64(ts[order[0]] - 1))
+                )
+                for i, lo in enumerate(bounds):
+                    hi = bounds[i + 1] if i + 1 < len(bounds) else len(order)
+                    idx = order[lo:hi]
+                    sub_off = np.zeros(len(idx) + 1, dtype=np.int64)
+                    lens = offsets[idx + 1] - offsets[idx]
+                    np.cumsum(lens, out=sub_off[1:])
+                    sub = np.concatenate(
+                        [data[offsets[j]: offsets[j + 1]] for j in idx]
+                    ) if len(idx) else np.empty(0, dtype=np.uint8)
+                    seen[idx] = kernel.lookup_or_add(
+                        sub, sub_off, as_of=int(ts[idx[0]])
+                    )
+            else:
+                seen = kernel.lookup_or_add(data, offsets)
+            fresh = pdf.loc[~seen, out_cols]
+            n_emitted += len(fresh)
+            if len(fresh):
+                yield fresh
+        if reset_pct is not None and not timed:
+            kernel.clear_if_saturation_exceeds(reset_pct)
+        state.update((kernel.serialize(), n_emitted))
+
+    return _dedup_fn
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key,
+    spec,
+    n_shards: int = 64,
+    ts_col: str = "ts",
+    saturation_reset_pct: float | None = None,
+) -> DataFrame:
+    """Cross-micro-batch first-occurrence dedup with BOUNDED state — the
+    streaming analog of ``pipeline/dedup.py::exact_dedup``.
+
+    Spark's built-in ``dropDuplicates`` keeps one exact state row per key
+    forever (unbounded at 10^12 turns) and ``dropDuplicatesWithinWatermark``
+    bounds state only by event-time.  This operator instead keeps a Bloom
+    bitmap per shard — ``n_shards × spec.nbytes`` bytes TOTAL no matter how
+    many keys flow through — at the documented cost of dropping a ~p
+    fraction of genuinely-novel rows as false positives (size ``spec`` for
+    the full corpus / ``n_shards`` each; p=1e-6 loses ~1 row per million).
+    For training-data dedup that trade is usually right: state for 10^12
+    keys at p=1e-4 is ~0.3 TB sharded across executors vs ~10s of TB exact.
+
+    - ``spec=BloomSpec(...)``: dedup-forever (first occurrence wins).
+    - ``spec=TdBloomSpec(...)``: suppress repeats within ``timeout`` seconds
+      of event-time (``ts_col``), then re-admit — the reference's
+      time-decaying membership (src/tdbloom.c) as a streaming suppressor.
+
+    Keys shard via ``pmod(xxhash64(key), n_shards)`` so state parallelism is
+    independent of key skew; each shard's bitmap updates via the kernel's
+    ``lookup_or_add`` (sequential test-and-set semantics, exact within and
+    across batches).  Null keys hash as the empty string (all nulls dedup to
+    one surviving row).  ``saturation_reset_pct`` optionally clears a
+    bloom-variant shard past that fill level — re-admitting duplicates
+    (safe direction for training data) instead of losing novel rows to a
+    saturated filter.
+
+    Output = input rows (same schema) that were first-seen; drive with
+    ``.writeStream.outputMode("append")``.
+    """
+    from sketchlib.specs import BloomSpec, TdBloomSpec
+
+    if not isinstance(spec, (BloomSpec, TdBloomSpec)):
+        raise ValueError(f"streaming_dedup needs BloomSpec or TdBloomSpec, got {spec.kind}")
+    out_cols = list(stream.columns)
+    key_col = F.col(key) if isinstance(key, str) else key
+    prepared = stream.withColumn("__key", key_col.cast("string")).withColumn(
+        "__shard", F.pmod(F.xxhash64("__key"), F.lit(n_shards))
+    )
+    if isinstance(spec, TdBloomSpec):
+        prepared = prepared.withColumn(
+            "__ts_sec", F.unix_timestamp(F.col(ts_col).cast("timestamp_ltz"))
+        )
+    out_schema = prepared.select(*out_cols).schema
+    return prepared.groupBy("__shard").applyInPandasWithState(
+        _make_dedup_fn(spec.to_json(), out_cols, saturation_reset_pct),
+        out_schema,
+        _DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def cells_sink(root: str, jobs: list[SketchJob], query_name: str):
     """foreachBatch sink maintaining the DECLARATIVE suite cell store
     (spark/suite_sql.py): each micro-batch's cell frame is merged into a

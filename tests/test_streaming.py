@@ -155,6 +155,132 @@ def test_conversation_state(spark, tr_dir):
     assert expired == len(wantd), "idle timeout must expire every conversation"
 
 
+def _write_doc_file(path, ids, texts, ts_base=0):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(ids),
+            "text": list(texts),
+            "ts": pd.to_datetime([1767225600 + ts_base] * len(ids), unit="s").astype(
+                "datetime64[us]"  # spark parquet reader rejects NANOS
+            ),
+        }
+    )
+    pdf.to_parquet(path)
+
+
+def test_streaming_dedup_bloom_cross_batch(spark, tmp_path):
+    """Bloom-backed streaming dedup: duplicates arriving in LATER
+    micro-batches are suppressed by the sharded bitmap state; every unique
+    row passes through exactly once; checkpoint restart resumes the state
+    (a post-restart file of known keys stays suppressed)."""
+    import os
+    import time
+
+    from sketchlib.specs import BloomSpec
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = [f"doc-{i}" for i in range(100)]
+    b = [f"doc-{i}" for i in range(100, 150)]
+    _write_doc_file(src / "f1.parquet", range(100), a)
+    _write_doc_file(src / "f2.parquet", list(range(50)) + list(range(100, 150)), a[:50] + b)
+    _write_doc_file(src / "f3.parquet", range(150), a + b)
+    for i, f in enumerate(["f1.parquet", "f2.parquet", "f3.parquet"]):
+        t = time.time() - 100 + i  # file-source processes oldest-first
+        os.utime(src / f, (t, t))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt_dedup")
+    sink = str(tmp_path / "dedup_out")  # file sink: checkpoint-recoverable
+
+    def run_pass():
+        q = (
+            streaming.streaming_dedup(
+                stream, "text", BloomSpec(10_000, 1e-6), n_shards=4
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_pass()
+    got = (
+        spark.read.parquet(sink)
+        .groupBy("text")
+        .count()
+        .collect()
+    )
+    assert {r["text"] for r in got} == set(a + b)
+    assert all(r["count"] == 1 for r in got), "every unique row exactly once"
+
+    # restart on the same checkpoint: known keys stay suppressed, new pass
+    _write_doc_file(src / "f4.parquet", list(range(100)) + [999], a + ["doc-new"])
+    run_pass()
+    got2 = (
+        spark.read.parquet(sink)
+        .groupBy("text")
+        .count()
+        .collect()
+    )
+    assert {r["text"]: r["count"] for r in got2} == {t: 1 for t in a + b + ["doc-new"]}, (
+        "state must survive the checkpoint restart"
+    )
+
+
+def test_streaming_dedup_tdbloom_readmits_after_timeout(spark, tmp_path):
+    """Time-decaying streaming dedup: repeats within the timeout are
+    suppressed; past it the key is re-admitted (the reference's tdbloom
+    freshness rule as a streaming suppressor)."""
+    import os
+    import time
+
+    from sketchlib.specs import TdBloomSpec
+
+    src = tmp_path / "tsrc"
+    src.mkdir()
+    keys = [f"alert-{i}" for i in range(40)]
+    _write_doc_file(src / "f1.parquet", range(40), keys, ts_base=0)
+    _write_doc_file(src / "f2.parquet", range(40), keys, ts_base=50)   # within timeout
+    _write_doc_file(src / "f3.parquet", range(40), keys, ts_base=500)  # expired
+    for i, f in enumerate(["f1.parquet", "f2.parquet", "f3.parquet"]):
+        t = time.time() - 100 + i
+        os.utime(src / f, (t, t))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    spec = TdBloomSpec(10_000, 1e-6, timeout=100, start_time=1767225600)
+    out = streaming.streaming_dedup(stream, "text", spec, n_shards=2, ts_col="ts")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tdedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_td"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT text, COUNT(*) AS c, COUNT(DISTINCT ts) AS d FROM tdedup GROUP BY text"
+    ).collect()
+    assert {r["text"] for r in rows} == set(keys)
+    assert all(r["c"] == 2 and r["d"] == 2 for r in rows), (
+        "each key passes at t=0 and again at t=500, never at t=50"
+    )
+
+
 def test_partial_crash_replay_no_double_fold(spark, tr_dir, tmp_path):
     """Crash AFTER a kernel save but BEFORE the epoch marker: the replayed
     batch must not re-fold already-updated kernels (per-kernel last_epoch
