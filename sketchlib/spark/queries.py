@@ -1245,6 +1245,21 @@ def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization carrier (spark/sessions.py): per-user
+    episode stats with a 30-min gap — the lag/cumulative-sum construction,
+    one shuffle on user_id, whole-stage codegen windows."""
+    from sketchlib.spark.sessions import session_stats
+
+    st = session_stats(_read(spark, sf_dir, "events"), "user_id", gap_sec=1800)
+    return st.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("active_sec").alias("total_active_sec"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline (SURVEY.md §2.9 extensions: dedup / similarity /
 # text analysis / multimodal)
@@ -1703,6 +1718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "top_users": q_top_users,
     "nation_revenue": q_nation_revenue,
+    "user_sessions": q_user_sessions,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -2005,6 +2021,34 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "user_sessions": """
+        WITH es AS (
+            -- floor to whole seconds: Spark's unix_timestamp truncates,
+            -- duckdb's epoch keeps fractions
+            SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        ), lagged AS (
+            SELECT user_id, ts, sec,
+                   sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+            FROM es
+        ), sess AS (
+            SELECT user_id, sec,
+                   SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS seq
+            FROM lagged
+        ), per AS (
+            SELECT user_id, seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(sec) - MIN(sec) AS active_sec
+            FROM sess GROUP BY user_id, seq
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               MAX(n_events) AS max_session_events,
+               CAST(SUM(active_sec) AS BIGINT) AS total_active_sec
+        FROM per GROUP BY user_id
     """,
     "exact_dedup": """
         SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
