@@ -164,3 +164,42 @@ def test_bloom_sql_merges_with_prehash_kernel_build(spark, kdf):
     b, _ = build_sketch(half2, spec, key="k", prehash=True)
     whole, _ = build_sketch(kdf, spec, key="k", prehash=True)
     assert a.merge(b).serialize() == whole.serialize()
+
+
+def test_wrap_arithmetic_adversarial_vs_bigint_truth(spark):
+    """_wrap_add / _wrap_mul_const / _umod vs Python big-int arithmetic on
+    adversarial uint64 corners (carry propagation across the 32-bit seam,
+    sign-bit reinterpretation, 0, 2^64-1) plus a seeded random sweep —
+    the primitives the whole declarative KM ladder stands on."""
+    from sketchlib.spark.bloom_sql import _umod, _wrap_add, _wrap_mul_const
+
+    corners = [
+        0, 1, 0x7FFFFFFF, 0x80000000, 0xFFFFFFFF, 0x100000000,
+        0x7FFFFFFFFFFFFFFF, 0x8000000000000000, 0xFFFFFFFFFFFFFFFF,
+        0xFFFFFFFF00000000, 0x00000000FFFFFFFF, 0x9E3779B97F4A7C15,
+    ]
+    rng = np.random.default_rng(23)
+    us = corners + [int(x) for x in rng.integers(0, 1 << 64, 500, dtype=np.uint64)]
+    vs = corners + [int(x) for x in rng.integers(0, 1 << 64, 500, dtype=np.uint64)]
+    consts = [0, 1, 2, 3, 5, 63, (1 << 26) - 1]
+    mods = [1, 2, 3, 5, 8, 191, 1 << 20, (1 << 62) - 57]
+
+    def s64(u):  # uint64 bit pattern -> signed int64 (Spark bigint)
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    pdf = pd.DataFrame({
+        "a": pd.array([s64(u) for u in us], dtype="int64"),
+        "b": pd.array([s64(v) for v in vs], dtype="int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    cols = [_wrap_add(F.col("a"), F.col("b")).alias("add")]
+    cols += [_wrap_mul_const(F.col("a"), c).alias(f"mul_{c}") for c in consts]
+    cols += [_umod(F.col("a"), m).alias(f"mod_{m}") for m in mods]
+    rows = df.select("a", "b", *cols).collect()
+    for r in rows:
+        ua, ub = r["a"] % (1 << 64), r["b"] % (1 << 64)
+        assert r["add"] % (1 << 64) == (ua + ub) % (1 << 64), (ua, ub)
+        for c in consts:
+            assert r[f"mul_{c}"] % (1 << 64) == (ua * c) % (1 << 64), (ua, c)
+        for m in mods:
+            assert r[f"mod_{m}"] == ua % m, (ua, m)
