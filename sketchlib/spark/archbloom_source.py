@@ -1,0 +1,225 @@
+"""``spark.read.format("archbloom")`` — a PySpark Python DataSource over
+fleets of native archbloom filter files.
+
+The reference persists one filter per file (``bloom_save`` src/bloom.c,
+``cbloom_save`` src/cbloom.c, ``tdbloom_save`` src/tdbloom.c — magics
+``!bloomf!``/``!cbloom!``/``!tdbloo!``, parsed by ``sketchlib/formats.py``).
+A C deployment accumulates directories of them (one per tenant / day /
+feed).  This source turns such a directory into a DataFrame — one row per
+file, one file per task — so fleet-wide questions become SQL:
+
+    spark.dataSource.register(ArchbloomDataSource)
+    df = spark.read.format("archbloom").load("/var/filters/*.bloom")
+    df.filter("kind = 'bloom' AND saturation_pct > 50").select("path", "name")
+
+and the ``state``/``spec_json`` columns reconstruct a full kernel anywhere
+(``kernel_from_row``) for probing or merging — e.g. OR-merging a fleet:
+``import_merged`` below, or group rows and fold in any order (the merge
+algebra is associative).
+
+Writing is the mirror image: ``df.write.format("archbloom").save(dir)``
+emits one native C-readable file per row (columns ``name``, ``spec_json``,
+``state``) in parallel from the executors — the distributed counterpart of
+``formats.export_file``.
+
+Scale notes: listing happens on the driver (cheap — names only); each file
+is read wholly inside one task (filter files are MBs — state-sized, never
+data-sized).  Cuckoo native files (src/cuckoo.c:205-301) carry NO magic,
+so they are only parsed when ``kind=cuckoo`` is forced via option.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("name", StringType()),
+        StructField("kind", StringType()),
+        StructField("m", LongType()),
+        StructField("k", LongType()),
+        StructField("nbytes", LongType()),
+        StructField("saturation_pct", DoubleType()),
+        StructField("spec_json", StringType()),
+        StructField("state", BinaryType()),
+    ]
+)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+    kind_hint: str | None
+
+
+def _row_from_file(path: str, kind_hint: str | None):
+    from sketchlib.formats import cuckoo_native_import, import_file
+
+    if kind_hint == "cuckoo":
+        # no magic, no portable spec: state = the raw file (byte-exact
+        # round-trip), kind tagged cuckoo_native, spec_json empty
+        st = cuckoo_native_import(path)
+        with open(path, "rb") as f:
+            raw = f.read()
+        return (
+            path, "", "cuckoo_native",
+            int(st.num_buckets * st.bucket_size), 0, len(raw),
+            float(st.load_factor() * 100.0), "", raw,
+        )
+    kernel = import_file(path)
+    spec = kernel.spec
+    state = kernel.serialize()
+    if spec.kind == "tdbloom":
+        # time-decaying saturation needs an as-of; report occupied cells
+        # (tick != 0) — the live fraction is a query, not a file property
+        sat = float((kernel.ticks != 0).mean() * 100.0)
+    else:
+        sat = float(kernel.saturation())
+    return (
+        path,
+        getattr(spec, "name", "") or "",
+        spec.kind,
+        int(getattr(spec, "m", 0)),
+        int(getattr(spec, "k", 0)),
+        len(state),
+        sat,
+        spec.to_json(),
+        state,
+    )
+
+
+class _ArchbloomReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path") or options.get("paths")
+        if not self.path:
+            raise ValueError("archbloom source needs a path (file, dir, or glob)")
+        self.kind_hint = options.get("kind")
+
+    def partitions(self):
+        p = self.path
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, f) for f in os.listdir(p) if not f.startswith(".")
+            )
+        else:
+            files = sorted(_glob.glob(p))
+        if not files:
+            raise FileNotFoundError(f"archbloom source: no files match {p}")
+        return [_FilePartition(f, self.kind_hint) for f in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        yield _row_from_file(partition.path, partition.kind_hint)
+
+
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    paths: tuple
+
+
+class _ArchbloomWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("archbloom writer needs a directory path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _WroteFiles:
+        from sketchlib.formats import export_file
+        from sketchlib.kernels import KERNEL_BY_KIND
+        from sketchlib.specs import BaseSpec
+
+        os.makedirs(self.dir, exist_ok=True)
+        wrote = []
+        for row in iterator:
+            fname = row["name"]
+            if not fname:
+                # rows are written from many partitions into one dir — a
+                # positional fallback name would collide across tasks
+                raise ValueError(
+                    "archbloom writer: every row needs a unique non-empty 'name'"
+                )
+            if row["kind"] == "cuckoo_native":
+                # state IS the raw C file — byte-exact passthrough
+                out = os.path.join(self.dir, f"{fname}.cuckoo")
+                if os.path.exists(out) and not self.overwrite:
+                    raise FileExistsError(out)
+                with open(out, "wb") as f:
+                    f.write(bytes(row["state"]))
+                wrote.append(out)
+                continue
+            spec = BaseSpec.from_json(row["spec_json"])
+            kernel = KERNEL_BY_KIND[spec.kind].deserialize(spec, bytes(row["state"]))
+            out = os.path.join(self.dir, f"{fname}.{spec.kind}")
+            if os.path.exists(out) and not self.overwrite:
+                raise FileExistsError(out)
+            export_file(kernel, out)
+            wrote.append(out)
+        return _WroteFiles(tuple(wrote))
+
+    def commit(self, messages):
+        return None
+
+
+class ArchbloomDataSource(DataSource):
+    """Register with ``spark.dataSource.register(ArchbloomDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "archbloom"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return _ArchbloomReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _ArchbloomWriter(self.options, overwrite)
+
+
+def kernel_from_row(row):
+    """Rebuild the full kernel from one source row (any executor/driver)."""
+    from sketchlib.kernels import KERNEL_BY_KIND
+    from sketchlib.specs import BaseSpec
+
+    if row["kind"] == "cuckoo_native":
+        raise ValueError(
+            "cuckoo_native rows carry the raw C file in 'state' — write it "
+            "to disk and use formats.cuckoo_native_import (the defective C "
+            "probe semantics are not a sketchlib kernel)"
+        )
+    spec = BaseSpec.from_json(row["spec_json"])
+    return KERNEL_BY_KIND[spec.kind].deserialize(spec, bytes(row["state"]))
+
+
+def import_merged(df):
+    """OR-merge every (compatible) filter row of ``df`` into one kernel —
+    the fleet-wide union, folded associatively.  State-sized driver work:
+    collect() moves only serialized filter states, never data."""
+    merged = None
+    for row in df.select("kind", "spec_json", "state").collect():
+        k = kernel_from_row(row)
+        merged = k if merged is None else merged.merge(k)
+    if merged is None:
+        raise ValueError("no rows to merge")
+    return merged
