@@ -45,3 +45,9 @@ from sketchlib.spark.suite_sql import (  # noqa: F401
     suite_cell_rows,
     write_suite_cells,
 )
+from sketchlib.spark.sessions import session_stats, session_windows_stream, sessionize  # noqa: F401
+from sketchlib.spark.archbloom_source import (  # noqa: F401
+    ArchbloomDataSource,
+    import_merged,
+    kernel_from_row,
+)
