@@ -281,7 +281,12 @@ def _make_dedup_fn(spec_json: str, out_cols: list[str], reset_pct: float | None)
             if timed:
                 # exact per-event-time semantics: probe/stamp in ascending
                 # per-second groups (micro-batches span few distinct seconds)
-                ts = pdf["__ts_sec"].to_numpy()
+                if pdf["__ts_sec"].isna().any():
+                    raise ValueError(
+                        "streaming_dedup with TdBloomSpec needs a non-null "
+                        "event-time column (null ts cannot be stamped)"
+                    )
+                ts = pdf["__ts_sec"].to_numpy().astype(np.int64)
                 seen = np.empty(len(pdf), dtype=bool)
                 order = np.argsort(ts, kind="stable")
                 bounds = np.flatnonzero(
