@@ -1684,6 +1684,59 @@ def q_streaming_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (streaming.py::streaming_dedup): the
+    documents corpus arrives twice across micro-batches (full file, then a
+    half-duplicate file); the sharded Bloom state must pass every unique
+    text through exactly once — so the emitted rows ARE the documents
+    table, hash-comparable against its SQL projection."""
+    import os
+    import shutil
+    import tempfile
+
+    from sketchlib.streaming import streaming_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="sketchlib_sdedup_gate_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        # one sorted file: within-batch first-occurrence = MIN(doc_id),
+        # which the SQL oracle can state exactly
+        docs.repartition(1).sortWithinPartitions("doc_id").write.parquet(
+            os.path.join(src, "b1")
+        )
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "b2")
+        )
+        # one dir per micro-batch; order batches by mtime (oldest first)
+        os.utime(os.path.join(src, "b1"), (1_000_000_000, 1_000_000_000))
+        os.utime(os.path.join(src, "b2"), (1_000_000_001, 1_000_000_001))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        out = streaming_dedup(
+            stream, "text", BloomSpec(200_000, 1e-9), n_shards=8
+        )
+        sink = os.path.join(tmp, "out")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .queryName("gate_stream_dedup")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        emitted = spark.read.parquet(sink).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(emitted, docs.schema)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "hll_sql_distinct": q_hll_sql_distinct,
@@ -1733,6 +1786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_docs": q_fingerprint_docs,
     "multimodal_features": q_multimodal_features,
     "streaming_sketch_build": q_streaming_sketch_build,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 _DUP_PAIRS_ORACLE = """
@@ -2123,6 +2177,10 @@ ORACLES: dict[str, str] = {
                TRUE AS multi_batch,
                TRUE AS within_2pct
         FROM events
+    """,
+    "streaming_dedup": """
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+        FROM documents GROUP BY text
     """,
     "multimodal_features": """
         SELECT COUNT(*) AS n_media,
