@@ -378,6 +378,88 @@ def streaming_dedup(
     )
 
 
+_HH_STATE_SCHEMA = "blob binary, n_rows long"
+_HH_OUT_SCHEMA = (
+    "shard int, key string, count_lower long, undercount_bound long, "
+    "shard_rows long"
+)
+
+
+def _make_hh_fn(spec_json: str, key_is_bytes: bool):
+    def _hh_fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        from sketchlib.kernels.mg import MisraGries
+        from sketchlib.specs import BaseSpec
+
+        (shard,) = key
+        spec = BaseSpec.from_json(spec_json)
+        if state.exists:
+            blob, n_rows = state.get
+            mg = MisraGries.deserialize(spec, bytes(blob))
+        else:
+            mg, n_rows = MisraGries(spec), 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            mg.update_strings(pdf["__key"].fillna("").tolist())
+            n_rows += len(pdf)
+        state.update((mg.serialize(), n_rows))
+        hh = mg.heavy_hitters()
+        bound = mg.max_undercount()
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(hh),
+                "key": [k.decode("utf-8", "replace") for k, _ in hh],
+                "count_lower": [c for _, c in hh],
+                "undercount_bound": [bound] * len(hh),
+                "shard_rows": [n_rows] * len(hh),
+            }
+        )
+
+    return _hh_fn
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    key,
+    spec,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Continuously-maintained heavy hitters: a Misra–Gries summary per
+    key-shard in ``applyInPandasWithState``, refreshed every micro-batch —
+    the streaming twin of the batch ``mg_heavy_hitters`` gate.
+
+    Each key hashes to exactly ONE shard (``pmod(xxhash64(key), n_shards)``),
+    so its estimate comes from that shard alone and the MG one-sided bound
+    applies with the SHARD's row count: for every emitted key,
+    ``count_lower ≤ true_count ≤ count_lower + undercount_bound``, with
+    ``undercount_bound ≤ shard_rows/(k+1)`` — sharper than one global
+    summary, and state is ``n_shards × k`` entries total no matter how many
+    distinct keys stream past.
+
+    Emits, per micro-batch and shard, the summary's current entries
+    (output mode ``update``; the latest row per (shard, key) is the
+    current estimate).  Fold shards for a fleet-wide view with a plain
+    ``GROUP BY key`` — keys never span shards, so no MG re-merge is needed.
+    """
+    from sketchlib.specs import MGSpec
+
+    if not isinstance(spec, MGSpec):
+        raise ValueError(f"streaming_heavy_hitters needs MGSpec, got {spec.kind}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    prepared = stream.withColumn("__key", key_col.cast("string")).withColumn(
+        "__shard", F.pmod(F.xxhash64("__key"), F.lit(n_shards)).cast("int")
+    )
+    return prepared.groupBy("__shard").applyInPandasWithState(
+        _make_hh_fn(spec.to_json(), False),
+        _HH_OUT_SCHEMA,
+        _HH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def cells_sink(root: str, jobs: list[SketchJob], query_name: str):
     """foreachBatch sink maintaining the DECLARATIVE suite cell store
     (spark/suite_sql.py): each micro-batch's cell frame is merged into a

@@ -281,6 +281,53 @@ def test_streaming_dedup_tdbloom_readmits_after_timeout(spark, tmp_path):
     )
 
 
+def test_streaming_heavy_hitters_bounds(spark, tr_dir, tmp_path):
+    """Per-shard MG summaries maintained across micro-batches: every
+    emitted key's estimate brackets its true count, every globally-heavy
+    key is present, and nothing ever overcounts."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.specs import MGSpec
+
+    stream = streaming.read_transcripts_stream(spark, tr_dir)
+    out = streaming.streaming_heavy_hitters(
+        stream, "tool", MGSpec(k=16), n_shards=4
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("shh")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # latest emission per (shard, key): shard_rows grows monotonically, so
+    # keep the row with the max shard_rows per key
+    latest = spark.sql(
+        """SELECT key, count_lower, undercount_bound FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY shard, key ORDER BY shard_rows DESC, count_lower DESC
+             ) AS rn FROM shh
+           ) WHERE rn = 1"""
+    ).collect()
+    got = {r["key"]: (r["count_lower"], r["undercount_bound"]) for r in latest}
+    exact = {
+        r["tool"]: r["cnt"]
+        for r in spark.read.parquet(tr_dir)
+        .groupBy("tool")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got, "summaries must emit"
+    for k, (lo, bound) in got.items():
+        assert lo <= exact.get(k, 0) <= lo + bound, (k, lo, bound, exact.get(k))
+    # global top tools must all be present (k=16 per shard is generous for
+    # the ~10-tool universe)
+    top = sorted(exact, key=exact.get, reverse=True)[:5]
+    assert all(t in got for t in top), (top, sorted(got))
+
+
 def test_partial_crash_replay_no_double_fold(spark, tr_dir, tmp_path):
     """Crash AFTER a kernel save but BEFORE the epoch marker: the replayed
     batch must not re-fold already-updated kernels (per-kernel last_epoch
