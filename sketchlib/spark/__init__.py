@@ -51,3 +51,4 @@ from sketchlib.spark.archbloom_source import (  # noqa: F401
     import_merged,
     kernel_from_row,
 )
+from sketchlib.spark.joins import bloom_prune, bloom_pruned_join  # noqa: F401

@@ -1,0 +1,111 @@
+"""Sketch-accelerated join pruning — a Bloom runtime filter as a user-level
+operator.
+
+The classic 100-TB join problem: ``fact ⋈ dim`` shuffles the WHOLE fact
+table even when only a sliver of its keys exist in ``dim``.  Engines solve
+it with runtime bloom filters (Spark's own
+``spark.sql.optimizer.runtime.bloomFilter`` does this internally for some
+shapes); archbloom's whole reason to exist is that same filter as a
+user-visible object.  This module closes the loop: build the declarative
+bitmap from the dim side (``bloom_sql.bloom_word_rows`` — pure Catalyst),
+embed it as ONE array<bigint> literal in the fact side's scan filter, and
+let the join see only surviving rows.
+
+The probe is zero-shuffle and zero-Python: the k Kirsch–Mitzenmacher
+positions are codegen expressions (the same ladder the builds use), and
+the bitmap is a constant array — ``element_at(<literal>, pos>>6) & mask``
+runs inside WholeStageCodegen next to the parquet scan, so the prune
+happens before the exchange.  False positives pass the prune and are then
+removed by the real join — ``bloom_pruned_join`` is EXACTLY a plain inner
+join, just cheaper: the shuffle carries ~(selectivity + p) of the fact
+table instead of all of it.
+
+Memory shape: the literal holds m/64 longs (spec.nbytes bytes — e.g. 1.2 MB
+at n=1M, p=1%); it ships once per task closure like any broadcast.  Size
+the spec for the DIM side (the small relation), never the fact side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sketchlib.spark.bloom_sql import _staged_positions, bloom_word_rows
+from sketchlib.specs import BloomSpec
+
+
+def dense_words(words: DataFrame, spec: BloomSpec) -> list[int]:
+    """Word-row frame → dense ``m/64`` signed-int64 list (index = word w).
+    Driver-side but state-sized: ≤ m/64 rows regardless of input rows."""
+    n_words = (spec.m + 63) // 64
+    dense = np.zeros(n_words, dtype=np.int64)
+    for r in words.collect():
+        dense[r["w"]] = r["word"]
+    return [int(x) for x in dense]
+
+
+def _words_literal(dense: list[int]) -> Column:
+    """The bitmap as one array<bigint> literal column (a single Literal
+    node — NOT ``F.array`` of m/64 child literals, which would bloat the
+    plan tree and break codegen)."""
+    return F.lit(dense)
+
+
+def bloom_prune(
+    df: DataFrame,
+    key,
+    spec: BloomSpec,
+    words: DataFrame | None = None,
+    build_from: DataFrame | None = None,
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``key`` is (probably) in the Bloom
+    filter described by ``words`` (a ``bloom_word_rows`` frame) or built
+    here from ``build_from``.  Null keys are dropped — this operator
+    exists to pre-prune INNER/SEMI joins, which drop them anyway; do not
+    use it ahead of outer joins.  False-positive rows (≈ p) survive; no
+    true key is ever dropped."""
+    if words is None:
+        if build_from is None:
+            raise ValueError("bloom_prune needs either words or build_from")
+        words = bloom_word_rows(build_from, spec, key)
+    arr = _words_literal(dense_words(words, spec))
+    staged = _staged_positions(
+        df, F.col(key) if isinstance(key, str) else key, spec.k, spec.m,
+        extra={c: F.col(c) for c in df.columns},
+    )
+    keep = None
+    for i in range(spec.k):
+        p = F.col(f"__p{i}")
+        word = F.element_at(arr, (F.shiftrightunsigned(p, 6) + 1).cast("int"))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"),
+            p.bitwiseAND(F.lit(63)).cast("int"),
+        )
+        cond = word.bitwiseAND(mask) != 0
+        keep = cond if keep is None else (keep & cond)
+    return staged.filter(keep).select(*df.columns)
+
+
+def bloom_pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    spec: BloomSpec | None = None,
+    expected: int | None = None,
+    p: float = 0.001,
+) -> DataFrame:
+    """``big ⋈ small`` (inner, equi on ``on``) with the big side pre-pruned
+    by a Bloom filter of the small side's keys.  Result rows are EXACTLY
+    the plain join's (FPs fall out in the join); the exchange under the
+    join carries only surviving big-side rows.
+
+    ``spec`` defaults to ``BloomSpec(expected, p)``; ``expected`` defaults
+    to ``small.count()`` (one extra cheap job — pass it if you know it)."""
+    if spec is None:
+        if expected is None:
+            expected = small.count()
+        spec = BloomSpec(max(int(expected), 1), p)
+    pruned = bloom_prune(big, on, spec, build_from=small)
+    return pruned.join(small, on, "inner")

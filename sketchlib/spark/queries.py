@@ -1245,6 +1245,24 @@ def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accelerated join (spark/joins.py): the big side is pre-pruned
+    by a Bloom literal built from the dim side — scan-level DataFilter,
+    zero shuffle and zero Python on the probe, then the real join removes
+    the ~p false positives, so the result is EXACTLY the plain inner
+    join's (which is the oracle)."""
+    from sketchlib.spark.joins import bloom_pruned_join
+
+    events = _read(spark, sf_dir, "events")
+    dim = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    j = bloom_pruned_join(events, dim, "user_id", p=0.001)
+    return j.groupBy("user_id").agg(F.count("*").alias("n_events"))
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization carrier (spark/sessions.py): per-user
     episode stats with a 30-min gap — the lag/cumulative-sum construction,
@@ -1772,6 +1790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_users": q_top_users,
     "nation_revenue": q_nation_revenue,
     "user_sessions": q_user_sessions,
+    "bloom_pruned_join": q_bloom_pruned_join,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -2075,6 +2094,14 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "bloom_pruned_join": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE user_id IN (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        GROUP BY user_id
     """,
     "user_sessions": """
         WITH es AS (

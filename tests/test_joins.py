@@ -1,0 +1,76 @@
+"""Bloom-pruned joins: exactness vs the plain join, no-shuffle probe plan,
+and prune effectiveness."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketchlib.spark import get_spark
+from sketchlib.spark.joins import bloom_prune, bloom_pruned_join
+from sketchlib.specs import BloomSpec
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark("join-tests", cpus=4, shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    # dim = the purchase users (a sliver of all users)
+    dim = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    return events, dim
+
+
+def test_pruned_join_equals_plain_join(spark, tables):
+    events, dim = tables
+    plain = events.join(dim, "user_id", "inner")
+    pruned = bloom_pruned_join(events, dim, "user_id", p=0.01)
+    assert pruned.count() == plain.count()
+    a = {tuple(r) for r in plain.select("user_id", "ts").collect()}
+    b = {tuple(r) for r in pruned.select("user_id", "ts").collect()}
+    assert a == b
+
+
+def test_prune_drops_most_nonmembers_never_members(spark, tables):
+    events, dim = tables
+    spec = BloomSpec(10_000, 0.001)
+    member_rows = events.join(dim, "user_id", "leftsemi").count()
+    kept = bloom_prune(events, "user_id", spec, build_from=dim)
+    n_kept = kept.count()
+    total = events.count()
+    assert n_kept >= member_rows, "no member row may be pruned"
+    # FP rows ≈ p · non-members; allow 10x headroom over p=0.001
+    assert n_kept - member_rows <= max(0.01 * (total - member_rows), 5)
+
+
+def test_prune_is_shuffle_free_and_python_free(spark, tables):
+    events, dim = tables
+    spec = BloomSpec(10_000, 0.001)
+    kept = bloom_prune(events, "user_id", spec, build_from=dim)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "the probe side must not shuffle"
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "*(" in plan, "whole-stage codegen marker missing"
+
+
+def test_prune_null_keys_dropped(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "user_id string"
+    )
+    dim = spark.createDataFrame([("a",)], "user_id string")
+    spec = BloomSpec(100, 0.001)
+    got = [
+        r["user_id"]
+        for r in bloom_prune(df, "user_id", spec, build_from=dim).collect()
+    ]
+    assert got == ["a"]
