@@ -52,3 +52,8 @@ from sketchlib.spark.archbloom_source import (  # noqa: F401
     kernel_from_row,
 )
 from sketchlib.spark.joins import bloom_prune, bloom_pruned_join  # noqa: F401
+from sketchlib.spark.partitioning import (  # noqa: F401
+    quantile_cuts,
+    range_bucket,
+    repartition_by_quantiles,
+)
