@@ -51,9 +51,12 @@ def repartition_by_quantiles(
     bucket_col: str = "__bucket",
 ) -> DataFrame:
     """Add ``bucket_col`` and repartition so each quantile bucket lands
-    wholly in one partition (hash on the bucket id) — balanced by
-    construction (each bucket holds ≈ rows/n_buckets by the KLL rank
-    guarantee), stable across runs when ``kernel`` is reused.
+    wholly in one partition (hash on the bucket id) — each bucket holds
+    ≈ rows/n_buckets by the KLL rank guarantee, stable across runs when
+    ``kernel`` is reused.  Note hash(bucket_id) can stack two buckets in
+    one partition (leaving another empty); for strict one-bucket-per-file
+    layouts write with ``partitionBy(bucket_col)`` instead, where the
+    directory IS the bucket.
 
     ``kernel`` defaults to a fresh KLL build over ``df[col]`` (one extra
     pass); pass a stored/merged kernel for stable incremental boundaries.

@@ -385,7 +385,7 @@ _HH_OUT_SCHEMA = (
 )
 
 
-def _make_hh_fn(spec_json: str, key_is_bytes: bool):
+def _make_hh_fn(spec_json: str):
     def _hh_fn(key, pdfs, state: GroupState):
         import pandas as pd
 
@@ -452,7 +452,7 @@ def streaming_heavy_hitters(
         "__shard", F.pmod(F.xxhash64("__key"), F.lit(n_shards)).cast("int")
     )
     return prepared.groupBy("__shard").applyInPandasWithState(
-        _make_hh_fn(spec.to_json(), False),
+        _make_hh_fn(spec.to_json()),
         _HH_OUT_SCHEMA,
         _HH_STATE_SCHEMA,
         "update",
