@@ -119,10 +119,12 @@ class _ArchbloomReader(DataSourceReader):
         p = self.path
         if os.path.isdir(p):
             files = sorted(
-                os.path.join(p, f) for f in os.listdir(p) if not f.startswith(".")
+                fp
+                for f in os.listdir(p)
+                if not f.startswith(".") and os.path.isfile(fp := os.path.join(p, f))
             )
         else:
-            files = sorted(_glob.glob(p))
+            files = sorted(f for f in _glob.glob(p) if os.path.isfile(f))
         if not files:
             raise FileNotFoundError(f"archbloom source: no files match {p}")
         return [_FilePartition(f, self.kind_hint) for f in files]
