@@ -594,20 +594,25 @@ ladder in ANSI-safe wrap-around arithmetic, per-kind cell aggregations,
 key-level pre-reduction for low-cardinality keys; kernels byte-identical
 to the prehash build, property-tested).  With zero Python in the
 dataflow the suite scales like the JVM control wherever the box's shared
-DRAM is not the binding constraint: **0.826 strong on the 1→4-core
-pair** (the honest single-box N→4N proxy) vs 0.69 on the DRAM-capped
-2→8 pair — the same 0.61 ceiling the no-Spark kernel-only control
-measures for 16 hot threads.  The mapInArrow kernel suite stays at 0.43
-(its per-stream Python-runner floor), which is why the declarative path
-is the flagship configuration at cluster scale.
+DRAM is not the binding constraint: **0.947 strong on the 1→4-core
+pair** (the honest single-box N→4N proxy; 40+41 converged samples) vs
+0.787 on the DRAM-capped 2→8 pair — the same 0.61 ceiling the no-Spark
+kernel-only control measures for 16 hot threads.  The mapInArrow kernel
+suite stays at 0.43 (its per-stream Python-runner floor), which is why
+the declarative path is the flagship configuration at cluster scale.
 
 Multi-executor topology: tools/bench_cluster.py submits the same sql
 suite via the real `spark-submit --py-files sketchlib.zip` path at
 `local-cluster[1,1,4096]` vs `local-cluster[4,1,4096]` — 1 vs 4 SEPARATE
 worker JVMs (own heaps, task threads, shuffle clients, RPC to the
 driver): the literal N vs 4N EXECUTORS pairing of the north rule, minus
-only the inter-host network.  Its rows appear in the table above once
-history has accumulated (levels lc_*, mode sql-lc-cluster).
+only the inter-host network.  At 62 converged samples per level this
+pair measures **0.802 strong** — the ≥0.8 criterion holds on the real
+multi-JVM topology too, despite every executor sharing one host's DRAM
+and disk (resources a real 4-node cluster multiplies).  Weak scaling
+reads 0.663 naively but 1.075 at constant per-core work (the naive form
+compares a quarter-sized input whose FIXED sketch-state costs do not
+shrink 4x; the constant-work row holds geometry fixed — see the table).
 
 Regenerate: `python tools/bench_scaling.py` (this file; `--report-only`
 rebuilds this report from the recorded sample history) and
