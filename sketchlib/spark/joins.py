@@ -53,6 +53,12 @@ def _words_literal(dense: list[int]) -> Column:
     return F.lit(dense)
 
 
+#: above this bitmap size the literal leaves the plan and the probe routes
+#: through the broadcast word-frame join instead (a multi-MB literal would
+#: be re-serialized into every stage's task binary and logged plan)
+LITERAL_BITMAP_MAX_BYTES = 8 << 20
+
+
 def bloom_prune(
     df: DataFrame,
     key,
@@ -65,11 +71,24 @@ def bloom_prune(
     here from ``build_from``.  Null keys are dropped — this operator
     exists to pre-prune INNER/SEMI joins, which drop them anyway; do not
     use it ahead of outer joins.  False-positive rows (≈ p) survive; no
-    true key is ever dropped."""
+    true key is ever dropped.
+
+    Bitmaps ≤ :data:`LITERAL_BITMAP_MAX_BYTES` probe as a scan-level
+    array literal (zero shuffle); larger ones fall back to probing the
+    distinct keys against the broadcast word frame
+    (``bloom_sql.bloom_sql_members`` — still zero Python) and
+    semi-joining the survivors back, where AQE broadcasts the member set
+    when it is small enough (the common case: ≈ dim cardinality + FPs)."""
     if words is None:
         if build_from is None:
             raise ValueError("bloom_prune needs either words or build_from")
         words = bloom_word_rows(build_from, spec, key)
+    if spec.nbytes > LITERAL_BITMAP_MAX_BYTES:
+        from sketchlib.spark.bloom_sql import bloom_sql_members
+
+        k = key if isinstance(key, str) else "key"
+        members = bloom_sql_members(words, df, spec, key).filter("member").select(k)
+        return df.join(members, k, "leftsemi")
     arr = _words_literal(dense_words(words, spec))
     staged = _staged_positions(
         df, F.col(key) if isinstance(key, str) else key, spec.k, spec.m,

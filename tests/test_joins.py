@@ -74,3 +74,21 @@ def test_prune_null_keys_dropped(spark):
         for r in bloom_prune(df, "user_id", spec, build_from=dim).collect()
     ]
     assert got == ["a"]
+
+
+def test_large_bitmap_fallback_matches_literal_path(spark, tables, monkeypatch):
+    """Past the literal-size cap the prune routes through the broadcast
+    word-frame probe + semi-join — same surviving keys."""
+    from sketchlib.spark import joins
+
+    events, dim = tables
+    spec = BloomSpec(10_000, 0.001)
+    lit_keys = {
+        r["user_id"]
+        for r in bloom_prune(events, "user_id", spec, build_from=dim)
+        .select("user_id").distinct().collect()
+    }
+    monkeypatch.setattr(joins, "LITERAL_BITMAP_MAX_BYTES", 1)
+    fb = joins.bloom_prune(events, "user_id", spec, build_from=dim)
+    fb_keys = {r["user_id"] for r in fb.select("user_id").distinct().collect()}
+    assert fb_keys == lit_keys
