@@ -110,23 +110,43 @@ def _row_from_file(path: str, kind_hint: str | None):
 
 class _ArchbloomReader(DataSourceReader):
     def __init__(self, options):
-        self.path = options.get("path") or options.get("paths")
-        if not self.path:
+        # load(p) arrives as option "path"; load(p1, p2, ...) arrives as
+        # option "paths" holding a JSON-encoded array string
+        paths: list[str] = []
+        if options.get("path"):
+            paths.append(options["path"])
+        if options.get("paths"):
+            import json as _json
+
+            try:
+                many = _json.loads(options["paths"])
+            except ValueError:
+                many = [options["paths"]]
+            if isinstance(many, str):
+                many = [many]
+            paths.extend(str(p) for p in many)
+        if not paths:
             raise ValueError("archbloom source needs a path (file, dir, or glob)")
+        self.paths = paths
         self.kind_hint = options.get("kind")
 
     def partitions(self):
-        p = self.path
-        if os.path.isdir(p):
-            files = sorted(
-                fp
-                for f in os.listdir(p)
-                if not f.startswith(".") and os.path.isfile(fp := os.path.join(p, f))
-            )
-        else:
-            files = sorted(f for f in _glob.glob(p) if os.path.isfile(f))
+        files: list[str] = []
+        for p in self.paths:
+            if os.path.isdir(p):
+                files.extend(
+                    fp
+                    for f in os.listdir(p)
+                    if not f.startswith(".")
+                    and os.path.isfile(fp := os.path.join(p, f))
+                )
+            else:
+                files.extend(f for f in _glob.glob(p) if os.path.isfile(f))
+        files = sorted(set(files))
         if not files:
-            raise FileNotFoundError(f"archbloom source: no files match {p}")
+            raise FileNotFoundError(
+                f"archbloom source: no files match {self.paths}"
+            )
         return [_FilePartition(f, self.kind_hint) for f in files]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
@@ -135,10 +155,16 @@ class _ArchbloomReader(DataSourceReader):
 
 @dataclass
 class _WroteFiles(WriterCommitMessage):
-    paths: tuple
+    #: ((tmp_path, final_path), ...) — renamed atomically at commit()
+    staged: tuple
 
 
 class _ArchbloomWriter(DataSourceWriter):
+    """Two-phase writer: tasks write to per-task temp names (never final
+    paths), the driver renames at commit() and deletes temps at abort() —
+    a failed or speculatively-retried task can neither leave a partial
+    final file behind nor collide with its own retry (ADVICE r4)."""
+
     def __init__(self, options, overwrite: bool):
         self.dir = options.get("path")
         if not self.dir:
@@ -146,12 +172,14 @@ class _ArchbloomWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> _WroteFiles:
+        import uuid
+
         from sketchlib.formats import export_file
         from sketchlib.kernels import KERNEL_BY_KIND
         from sketchlib.specs import BaseSpec
 
         os.makedirs(self.dir, exist_ok=True)
-        wrote = []
+        staged = []
         for row in iterator:
             fname = row["name"]
             if not fname:
@@ -162,23 +190,65 @@ class _ArchbloomWriter(DataSourceWriter):
                 )
             if row["kind"] == "cuckoo_native":
                 # state IS the raw C file — byte-exact passthrough
-                out = os.path.join(self.dir, f"{fname}.cuckoo")
-                if os.path.exists(out) and not self.overwrite:
-                    raise FileExistsError(out)
-                with open(out, "wb") as f:
+                final = os.path.join(self.dir, f"{fname}.cuckoo")
+                tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+                with open(tmp, "wb") as f:
                     f.write(bytes(row["state"]))
-                wrote.append(out)
+                staged.append((tmp, final))
                 continue
             spec = BaseSpec.from_json(row["spec_json"])
             kernel = KERNEL_BY_KIND[spec.kind].deserialize(spec, bytes(row["state"]))
-            out = os.path.join(self.dir, f"{fname}.{spec.kind}")
-            if os.path.exists(out) and not self.overwrite:
-                raise FileExistsError(out)
-            export_file(kernel, out)
-            wrote.append(out)
-        return _WroteFiles(tuple(wrote))
+            final = os.path.join(self.dir, f"{fname}.{spec.kind}")
+            tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+            export_file(kernel, tmp)
+            staged.append((tmp, final))
+        return _WroteFiles(tuple(staged))
 
     def commit(self, messages):
+        staged = [
+            pair for m in messages if m is not None for pair in m.staged
+        ]
+        finals = [final for _tmp, final in staged]
+        dupes = {f for f in finals if finals.count(f) > 1}
+        if dupes:
+            for tmp, _final in staged:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            raise ValueError(
+                f"archbloom writer: duplicate row names map to {sorted(dupes)}"
+            )
+        if not self.overwrite:
+            clashes = [f for f in finals if os.path.exists(f)]
+            if clashes:
+                for tmp, _final in staged:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                raise FileExistsError(
+                    f"archbloom writer: {sorted(clashes)} exist "
+                    "(use mode('overwrite') to replace)"
+                )
+        else:
+            # overwrite = replace the dataset: clear stale non-temp files
+            keep = set(finals)
+            for f in os.listdir(self.dir):
+                full = os.path.join(self.dir, f)
+                if (
+                    os.path.isfile(full)
+                    and not f.endswith(".tmp")
+                    and full not in keep
+                ):
+                    os.unlink(full)
+        for tmp, final in staged:
+            os.replace(tmp, final)
+        return None
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _final in m.staged:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         return None
 
 
@@ -214,14 +284,58 @@ def kernel_from_row(row):
     return KERNEL_BY_KIND[spec.kind].deserialize(spec, bytes(row["state"]))
 
 
-def import_merged(df):
+def import_merged(df, kind: str | None = None):
     """OR-merge every (compatible) filter row of ``df`` into one kernel —
     the fleet-wide union, folded associatively.  State-sized driver work:
-    collect() moves only serialized filter states, never data."""
+    collect() moves only serialized filter states, never data.
+
+    A mixed fleet (e.g. a broad glob matching bloom + tdbloom files) is
+    rejected up front with the offending paths named, instead of failing
+    deep inside a kernel merge; pass ``kind`` to filter to one family."""
+    cols = ["kind", "spec_json", "state"]
+    has_path = "path" in df.columns
+    if has_path:
+        cols.append("path")
+    if kind is not None:
+        df = df.filter(df["kind"] == kind)
+    rows = df.select(*cols).collect()
+    if not rows:
+        raise ValueError("no rows to merge")
+
+    def _where(r):
+        return r["path"] if has_path else "<row without path column>"
+
+    natives = [_where(r) for r in rows if r["kind"] == "cuckoo_native"]
+    if natives:
+        raise ValueError(
+            "import_merged: cuckoo_native rows cannot be merged (the raw C "
+            f"layout has no portable merge) — offending files: {natives[:5]}"
+        )
+    kinds = {r["kind"] for r in rows}
+    if len(kinds) > 1:
+        by_kind = {
+            k: [_where(r) for r in rows if r["kind"] == k][:3] for k in sorted(kinds)
+        }
+        raise ValueError(
+            f"import_merged: mixed filter kinds {sorted(kinds)} — pass "
+            f"kind=... or narrow the glob; examples per kind: {by_kind}"
+        )
+    from sketchlib.specs import BaseSpec
+
+    ref = BaseSpec.from_json(rows[0]["spec_json"])
+    bad = [
+        _where(r)
+        for r in rows
+        if not ref.compatible(BaseSpec.from_json(r["spec_json"]))
+    ]
+    if bad:
+        raise ValueError(
+            "import_merged: incompatible filter geometry vs "
+            f"{_where(rows[0])} (size/hashcount/accuracy must match, "
+            f"src/bloom.c:773-777 semantics) — offending files: {bad[:5]}"
+        )
     merged = None
-    for row in df.select("kind", "spec_json", "state").collect():
+    for row in rows:
         k = kernel_from_row(row)
         merged = k if merged is None else merged.merge(k)
-    if merged is None:
-        raise ValueError("no rows to merge")
     return merged

@@ -74,21 +74,18 @@ def bloom_prune(
     true key is ever dropped.
 
     Bitmaps ≤ :data:`LITERAL_BITMAP_MAX_BYTES` probe as a scan-level
-    array literal (zero shuffle); larger ones fall back to probing the
-    distinct keys against the broadcast word frame
-    (``bloom_sql.bloom_sql_members`` — still zero Python) and
-    semi-joining the survivors back, where AQE broadcasts the member set
-    when it is small enough (the common case: ≈ dim cardinality + FPs)."""
+    array literal (zero shuffle); larger ones fall back to a SINGLE-PASS
+    probe that left-joins the broadcast word frame once per hash position
+    (k broadcast hash joins, one scan of ``df``, no distinct/semi-join
+    second pass — the k exchanges canonicalize identically so Spark
+    reuses ONE broadcast).  For filters too big to broadcast at all,
+    use the key-routed ``probe_join.probe_sharded`` path instead."""
     if words is None:
         if build_from is None:
             raise ValueError("bloom_prune needs either words or build_from")
         words = bloom_word_rows(build_from, spec, key)
     if spec.nbytes > LITERAL_BITMAP_MAX_BYTES:
-        from sketchlib.spark.bloom_sql import bloom_sql_members
-
-        k = key if isinstance(key, str) else "key"
-        members = bloom_sql_members(words, df, spec, key).filter("member").select(k)
-        return df.join(members, k, "leftsemi")
+        return _prune_via_broadcast_words(df, key, spec, words)
     arr = _words_literal(dense_words(words, spec))
     staged = _staged_positions(
         df, F.col(key) if isinstance(key, str) else key, spec.k, spec.m,
@@ -103,6 +100,43 @@ def bloom_prune(
             p.bitwiseAND(F.lit(63)).cast("int"),
         )
         cond = word.bitwiseAND(mask) != 0
+        keep = cond if keep is None else (keep & cond)
+    return staged.filter(keep).select(*df.columns)
+
+
+def _prune_via_broadcast_words(
+    df: DataFrame, key, spec: BloomSpec, words: DataFrame
+) -> DataFrame:
+    """Large-bitmap fallback: probe ``df``'s own rows against the broadcast
+    word frame, one LEFT broadcast-hash-join per hash position — member iff
+    every position's word has its mask bit.  One scan of ``df``, zero
+    shuffle on the fact side, and the k word-frame exchanges canonicalize
+    to the same plan so only ONE broadcast actually ships (ReusedExchange,
+    plan-asserted in tests).  Works for Column keys as well as names —
+    nothing is renamed on ``df``."""
+    staged = _staged_positions(
+        df, F.col(key) if isinstance(key, str) else key, spec.k, spec.m,
+        extra={c: F.col(c) for c in df.columns},
+    )
+    keep = None
+    for i in range(spec.k):
+        p = F.col(f"__p{i}")
+        # the SAME words plan each time (only a SubqueryAlias differs,
+        # which canonicalization strips) — the k BroadcastExchanges
+        # collapse into one broadcast + (k-1) ReusedExchange
+        w_i = words.alias(f"__bw{i}")
+        staged = staged.join(
+            F.broadcast(w_i),
+            F.shiftrightunsigned(p, 6) == F.col(f"__bw{i}.w"),
+            "left",
+        )
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"),
+            p.bitwiseAND(F.lit(63)).cast("int"),
+        )
+        cond = (
+            F.coalesce(F.col(f"__bw{i}.word"), F.lit(0)).bitwiseAND(mask) != 0
+        )
         keep = cond if keep is None else (keep & cond)
     return staged.filter(keep).select(*df.columns)
 

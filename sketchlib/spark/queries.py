@@ -1727,9 +1727,14 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
             os.path.join(src, "b2")
         )
-        # one dir per micro-batch; order batches by mtime (oldest first)
-        os.utime(os.path.join(src, "b1"), (1_000_000_000, 1_000_000_000))
-        os.utime(os.path.join(src, "b2"), (1_000_000_001, 1_000_000_001))
+        # one dir per micro-batch; FileStreamSource orders by the mtimes of
+        # the LEAF part files (not the directories — ADVICE r4), so stamp
+        # every part file inside each batch dir
+        import glob as _glob
+
+        for bdir, mt in (("b1", 1_000_000_000), ("b2", 1_000_000_001)):
+            for part in _glob.glob(os.path.join(src, bdir, "*.parquet")):
+                os.utime(part, (mt, mt))
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)

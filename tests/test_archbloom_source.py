@@ -116,6 +116,60 @@ def test_write_requires_unique_names(spark, fleet, tmp_path):
         df.write.format("archbloom").mode("append").save(str(tmp_path / "o2"))
 
 
+def test_multi_path_load(spark, fleet, tmp_path):
+    """load(p1, p2) ships a JSON array in the 'paths' option — both must be
+    globbed (ADVICE r4: the array string used to be treated as one path)."""
+    d, *_ = fleet
+    df = spark.read.format("archbloom").load(
+        [os.path.join(d, "*.bloom"), os.path.join(d, "*.cbloom")]
+    )
+    assert {r["kind"] for r in df.collect()} == {"bloom", "cbloom"}
+
+
+def test_import_merged_mixed_kind_error(spark, fleet):
+    """A broad glob over a mixed fleet must fail up front, naming files —
+    and kind=... must narrow it to a mergeable family (ADVICE r4)."""
+    d, b, *_ = fleet
+    df = spark.read.format("archbloom").load(d)
+    with pytest.raises(ValueError, match="mixed filter kinds"):
+        import_merged(df)
+    merged = import_merged(df, kind="bloom")
+    assert merged.serialize() == b.serialize()
+
+
+def test_import_merged_incompatible_geometry_error(spark, tmp_path):
+    b1 = BloomFilter(BloomSpec(1000, 0.01, name="g1"))
+    b2 = BloomFilter(BloomSpec(2000, 0.01, name="g2"))
+    formats.export_file(b1, str(tmp_path / "g1.bloom"))
+    formats.export_file(b2, str(tmp_path / "g2.bloom"))
+    df = spark.read.format("archbloom").load(str(tmp_path))
+    with pytest.raises(ValueError, match="incompatible filter geometry"):
+        import_merged(df)
+
+
+def test_write_overwrite_replaces_and_clears_stale(spark, fleet, tmp_path):
+    """mode('overwrite') = replace the dataset: stale files from an earlier
+    write go away, no temp files survive, and re-running append on existing
+    names still errors cleanly (atomic two-phase writer, ADVICE r4)."""
+    d, b, *_ = fleet
+    out = str(tmp_path / "ow")
+    full = spark.read.format("archbloom").load(d)
+    full.write.format("archbloom").mode("append").save(out)
+    assert len(os.listdir(out)) == 3
+    only_bloom = spark.read.format("archbloom").load(os.path.join(d, "*.bloom"))
+    only_bloom.write.format("archbloom").mode("overwrite").save(out)
+    names = sorted(os.listdir(out))
+    assert names == ["tenant_a.bloom"], names  # stale cbloom/tdbloom cleared
+    assert not any(n.endswith(".tmp") for n in names)
+    with open(os.path.join(out, "tenant_a.bloom"), "rb") as f:
+        assert formats.bloom_import(os.path.join(out, "tenant_a.bloom")).serialize() == b.serialize()
+        f.read()
+    with pytest.raises(Exception, match="exist"):
+        only_bloom.write.format("archbloom").mode("append").save(out)
+    # the failed append left no partial/temp files behind
+    assert sorted(os.listdir(out)) == ["tenant_a.bloom"]
+
+
 def test_cuckoo_native_passthrough(spark, tmp_path):
     st = formats.CuckooNativeFile.create(num_buckets=64)
     st.add_strings([f"k{i}" for i in range(40)])

@@ -77,8 +77,10 @@ def test_prune_null_keys_dropped(spark):
 
 
 def test_large_bitmap_fallback_matches_literal_path(spark, tables, monkeypatch):
-    """Past the literal-size cap the prune routes through the broadcast
-    word-frame probe + semi-join — same surviving keys."""
+    """Past the literal-size cap the prune routes through the single-pass
+    broadcast word-frame probe — same surviving keys, and the plan shows
+    ONE scan of the fact side, no shuffle, no Python, and the k word-frame
+    broadcasts collapsing into ReusedExchange."""
     from sketchlib.spark import joins
 
     events, dim = tables
@@ -92,3 +94,30 @@ def test_large_bitmap_fallback_matches_literal_path(spark, tables, monkeypatch):
     fb = joins.bloom_prune(events, "user_id", spec, build_from=dim)
     fb_keys = {r["user_id"] for r in fb.select("user_id").distinct().collect()}
     assert fb_keys == lit_keys
+    # plan shape on the executed frame itself (AQE reuse is runtime-only)
+    fb.collect()
+    plan = fb._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2, "one fact scan + one dim scan"
+    # the only shuffles are dim-side state-sized ones (distinct + groupBy w);
+    # the fact side must not shuffle
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "Python" not in final and "ArrowEval" not in final
+    # k word-frame broadcasts collapse to ONE live exchange + k-1 reuses
+    assert final.count("ReusedExchange") == spec.k - 1
+
+
+def test_large_bitmap_fallback_column_key(spark, tables, monkeypatch):
+    """The fallback must accept a Column expression key (ADVICE r4: the old
+    semi-join fallback renamed the probe column to the literal name 'key'
+    and raised unless df happened to have one)."""
+    from sketchlib.spark import joins
+
+    events, dim = tables
+    spec = BloomSpec(10_000, 0.001)
+    key_expr = F.upper(F.col("user_id"))
+    dim_up = dim.select(F.upper("user_id").alias("user_id"))
+    lit = joins.bloom_prune(events, key_expr, spec, build_from=dim_up).count()
+    monkeypatch.setattr(joins, "LITERAL_BITMAP_MAX_BYTES", 1)
+    fb = joins.bloom_prune(events, key_expr, spec, build_from=dim_up).count()
+    assert fb == lit
