@@ -171,45 +171,33 @@ def q_bloom_sql_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     check all run inside whole-stage codegen — ZERO Python in build or
     probe, the configuration that closes the N→4N scaling gate (the
     mapInArrow per-stream floor is gone).  At p=1e-6 the probe equals the
-    exact semi-join (no false negatives; expected FP ≈ n·p ≪ 1), and the
-    materialized bitmap must be byte-identical to the prehash kernel build
-    over the same rows (same hash family — states merge freely)."""
-    from sketchlib.spark.bloom_sql import (
-        _words_to_bits,
-        bloom_sql_members,
-        bloom_word_rows,
-    )
+    exact semi-join (no false negatives; expected FP ≈ n·p ≪ 1).
+    Byte-identity of the SQL-built bitmap vs the prehash kernel build is
+    property-tested in tests/test_bloom_sql.py — the gate carries only
+    the build+probe dataflow (the r4 double-build cost 2x the query)."""
+    from sketchlib.spark.bloom_sql import bloom_sql_members, bloom_word_rows
 
     events = _read(spark, sf_dir, "events")
     members = events.filter(F.col("event_type") == "purchase")
     spec = BloomSpec(200_000, 1e-6)
-    words = bloom_word_rows(members, spec, "user_id").cache()
-    kern, _ = build_sketch(members, spec, key="user_id", prehash=True)
-    bits = _words_to_bits(
-        [(r["w"], r["word"]) for r in words.collect()], spec.nbytes
-    )
-    identical = bits.tobytes() == kern.serialize()
-    out = (
+    words = bloom_word_rows(members, spec, "user_id")
+    return (
         bloom_sql_members(words, events, spec, "user_id")
         .filter("member")
         .select("user_id")
-        .withColumn("byte_identical_to_kernel", F.lit(bool(identical)))
     )
-    words.unpersist()
-    return out
 
 
 def q_cbloom_sql_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-Catalyst counting-Bloom (spark/bloom_sql.py): counters as
     ``groupBy(pos).least(count, cap)``, min-of-k point counts as a
     broadcast join — zero Python in either path.  One-sided error checked
-    per key (never undercounts); byte-identity of the SQL-built state vs
-    the prehash kernel build is asserted for cbloom, tdbloom AND tdcbloom
-    (the whole bloom family shares the declarative ladder)."""
+    per key (never undercounts); ONE byte-identity flag (cbloom SQL build
+    vs the prehash kernel build) stays in-gate; tdbloom/tdcbloom identity
+    is property-tested in tests/test_bloom_sql.py (the r4 sextuple-build
+    was the suite's most expensive gate)."""
     from sketchlib.spark.bloom_sql import (
         build_cbloom_sql,
-        build_tdbloom_sql,
-        build_tdcbloom_sql,
         cbloom_cell_rows,
         cbloom_sql_counts,
     )
@@ -220,19 +208,6 @@ def q_cbloom_sql_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cbloom_sql_counts(cells, events, cspec, "user_id")
     ckern, _ = build_sketch(events, cspec, key="user_id", prehash=True)
     c_ident = build_cbloom_sql(events, cspec, "user_id").serialize() == ckern.serialize()
-    t0, t1 = _ts_bounds(events)
-    tspec = TdBloomSpec(100_000, 0.001, timeout=max((t1 - t0), 1), start_time=t0)
-    tkern, _ = build_sketch(events, tspec, key="user_id", ts="ts", prehash=True)
-    t_ident = (
-        build_tdbloom_sql(events, tspec, "user_id", ts="ts").serialize()
-        == tkern.serialize()
-    )
-    tcspec = TdCBloomSpec(50_000, 0.001, timeout=max((t1 - t0), 1), start_time=t0)
-    tckern, _ = build_sketch(events, tcspec, key="user_id", ts="ts", prehash=True)
-    tc_ident = (
-        build_tdcbloom_sql(events, tcspec, "user_id", ts="ts").serialize()
-        == tckern.serialize()
-    )
     exact = events.groupBy("user_id").count().withColumnRenamed("count", "cnt_exact")
     out = (
         exact.join(est, "user_id")
@@ -241,8 +216,6 @@ def q_cbloom_sql_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt_exact",
             (F.col("cnt") >= F.col("cnt_exact")).alias("never_undercounts"),
             F.lit(bool(c_ident)).alias("cbloom_byte_identical"),
-            F.lit(bool(t_ident)).alias("tdbloom_byte_identical"),
-            F.lit(bool(tc_ident)).alias("tdcbloom_byte_identical"),
         )
     )
     cells.unpersist()
@@ -859,16 +832,12 @@ def q_kll_sql_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
         F.col("l_extendedprice").cast("double").alias("price"),
     ).createOrReplaceTempView("kll_lineitem")
-    # COUNT lives in its own subquery: Spark cannot mix a GROUPED_AGG
-    # pandas UDAF with built-in aggregates in one aggregation
     months = spark.sql(
         """
-        SELECT s.month, sk_kll_p50(s.state) AS p50, sk_kll_p95(s.state) AS p95,
-               s.state, c.n
+        SELECT month, sk_kll_p50(state) AS p50, sk_kll_p95(state) AS p95,
+               state
         FROM (SELECT month, sk_kll_state(price) AS state
-              FROM kll_lineitem GROUP BY month) s
-        JOIN (SELECT month, COUNT(price) AS n
-              FROM kll_lineitem GROUP BY month) c USING (month)
+              FROM kll_lineitem GROUP BY month)
         """
     ).cache()
     months.createOrReplaceTempView("kll_month_states")
@@ -879,32 +848,76 @@ def q_kll_sql_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM kll_month_states
         """
     ).first()
+    tot_p50, tot_p95 = float(tot["p50"]), float(tot["p95"])
 
-    def _rank_ok(vals: np.ndarray, est: float, q: float, tol: float) -> bool:
-        lo, hi = _rank_of(vals, est)
+    # rank verification SPARK-SIDE in one pass: broadcast-join the 83x3
+    # estimate frame back onto the prices and count (price < est) /
+    # (price <= est) per month — the exact-rank bracket [lo, hi] without
+    # pulling a data-sized column to the driver (the r4 gate toPandas'd
+    # every price: ~600k rows at sf0.1, a non-starter at 100x)
+    def _cnt(cond) -> F.Column:
+        return F.sum(cond.cast("long"))
+
+    p = F.col("price")
+    per = (
+        spark.table("kll_lineitem")
+        .join(F.broadcast(months.select("month", "p50", "p95")), "month")
+        .groupBy("month")
+        .agg(
+            F.count("price").alias("n"),
+            _cnt(p < F.col("p50")).alias("lt50"),
+            _cnt(p <= F.col("p50")).alias("le50"),
+            _cnt(p < F.col("p95")).alias("lt95"),
+            _cnt(p <= F.col("p95")).alias("le95"),
+            _cnt(p < F.lit(tot_p50)).alias("lt50t"),
+            _cnt(p <= F.lit(tot_p50)).alias("le50t"),
+            _cnt(p < F.lit(tot_p95)).alias("lt95t"),
+            _cnt(p <= F.lit(tot_p95)).alias("le95t"),
+        )
+        .cache()
+    )
+
+    def _ok(lt: str, le: str, n, q: float, tol: float = 0.03) -> F.Column:
+        lo, hi = F.col(lt) / n, F.col(le) / n
+        return ((lo <= q) & (F.lit(q) <= hi)) | (
+            F.least(F.abs(F.lit(q) - lo), F.abs(F.lit(q) - hi)) <= tol
+        )
+
+    monthly_ok = bool(
+        per.agg(
+            F.bool_and(_ok("lt50", "le50", F.col("n"), 0.5)
+                       & _ok("lt95", "le95", F.col("n"), 0.95)).alias("ok")
+        ).first()["ok"]
+    )
+    # merged-total bracket: the per-month counts vs the TOTAL estimates sum
+    # to the global exact ranks (counts are additive across the partition)
+    t = per.agg(
+        F.sum("n").alias("n"),
+        F.sum("lt50t").alias("lt"), F.sum("le50t").alias("le"),
+        F.sum("lt95t").alias("lt9"), F.sum("le95t").alias("le9"),
+    ).first()
+
+    def _ok_scalar(lt: int, le: int, n: int, q: float, tol: float = 0.03) -> bool:
+        lo, hi = lt / n, le / n
         return lo <= q <= hi or min(abs(q - lo), abs(q - hi)) <= tol
 
-    # one pull of (month, price), grouped in numpy — NOT one Spark query
-    # per month (83 driver round-trips measured 25s+)
-    mp = spark.sql("SELECT month, price FROM kll_lineitem").toPandas()
-    by_month = {m: np.sort(g["price"].to_numpy()) for m, g in mp.groupby("month")}
-    ok = True
-    for r in months.select("month", "p50", "p95").collect():
-        vals = by_month[r["month"]]
-        ok = ok and _rank_ok(vals, r["p50"], 0.5, 0.03)
-        ok = ok and _rank_ok(vals, r["p95"], 0.95, 0.03)
-    allv = np.sort(mp["price"].to_numpy())
-    tot_ok = _rank_ok(allv, tot["p50"], 0.5, 0.03) and _rank_ok(
-        allv, tot["p95"], 0.95, 0.03
+    tot_ok = _ok_scalar(t["lt"], t["le"], t["n"], 0.5) and _ok_scalar(
+        t["lt9"], t["le9"], t["n"], 0.95
     )
-    out = months.select(
-        "month",
-        "n",
-        F.lit(bool(ok)).alias("monthly_within_rank_bound"),
-        F.lit(bool(tot_ok)).alias("merged_within_rank_bound"),
-    )
+    # materialize the 83-row output while `per` is still cached, then
+    # release both carriers
+    out_rows = [
+        Row(
+            month=r["month"],
+            n=int(r["n"]),
+            monthly_within_rank_bound=monthly_ok,
+            merged_within_rank_bound=bool(tot_ok),
+        )
+        for r in per.select("month", "n").collect()
+    ]
     months.unpersist()
-    return out
+    per.unpersist()
+    return spark.createDataFrame(out_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1884,7 +1897,7 @@ ORACLES: dict[str, str] = {
         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
     "bloom_sql_membership": """
-        SELECT DISTINCT user_id, TRUE AS byte_identical_to_kernel
+        SELECT DISTINCT user_id
         FROM events
         WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
@@ -1892,9 +1905,7 @@ ORACLES: dict[str, str] = {
         SELECT user_id,
                COUNT(*) AS cnt_exact,
                TRUE AS never_undercounts,
-               TRUE AS cbloom_byte_identical,
-               TRUE AS tdbloom_byte_identical,
-               TRUE AS tdcbloom_byte_identical
+               TRUE AS cbloom_byte_identical
         FROM events GROUP BY user_id
     """,
     "bloom_probe_join": """

@@ -144,6 +144,22 @@ def test_tdbloom_sql_byte_identity(spark, kdf):
     assert (sql_k.ticks > 0).any()
 
 
+def test_tdcbloom_sql_byte_identity(spark, kdf):
+    """tdcbloom (counters + ticks SoA) SQL build vs prehash kernel build —
+    the identity the r4 gate carried in-query (moved here; the gate keeps
+    only the cbloom flag)."""
+    from sketchlib.spark.bloom_sql import build_tdcbloom_sql
+    from sketchlib.specs import TdCBloomSpec
+
+    spec = TdCBloomSpec(
+        5000, 0.01, timeout=86400, counter_bits=32, start_time=1767225600
+    )
+    sql_k = build_tdcbloom_sql(kdf, spec, "k", ts="ts")
+    kern, _ = build_sketch(kdf, spec, key="k", ts="ts", prehash=True)
+    assert sql_k.serialize() == kern.serialize()
+    assert (sql_k.ticks > 0).any() and (sql_k.counters > 0).any()
+
+
 def test_tdbloom_sql_rejects_pre_epoch_ts(spark):
     spec = TdBloomSpec(100, 0.01, timeout=3600, start_time=1767225600)
     df = spark.createDataFrame(
