@@ -424,6 +424,56 @@ def tdcbloom_cell_rows(df: DataFrame, spec, key, ts: str = "ts") -> DataFrame:
     )
 
 
+def tdcbloom_sql_counts(
+    cells: DataFrame,
+    spec,
+    df: DataFrame,
+    key,
+    as_of: int,
+    result_col: str = "cnt",
+) -> DataFrame:
+    """Declarative windowed min-of-k point counts against a tdcbloom cell
+    frame — the composition of :func:`cbloom_sql_counts`'s min-of-k with
+    :func:`tdbloom_sql_members`'s per-cell freshness: count = min counter
+    over the key's k cells if EVERY cell is stamped and fresh within
+    ``timeout`` as of ``as_of``, else 0 (tdcbloom_count,
+    src/tdcbloom.c:775-806 / kernels/tdcbloom.py::count — which applies no
+    whole-filter age guard, unlike tdbloom_lookup).  Broadcast join, zero
+    Python; missing cells read (cnt=0, tick=0) = never stamped.  Returns
+    the caller's original (uncast) key values."""
+    T = int(as_of) - spec.start_time
+    orig = F.col(key) if isinstance(key, str) else key
+    probes = (
+        df.select(orig.alias("__orig")).filter(F.col("__orig").isNotNull()).distinct()
+    )
+    staged = _staged_positions(
+        probes, F.col("__orig"), spec.k, spec.m, extra={"__orig": F.col("__orig")}
+    )
+    probed = staged.select(
+        "__orig",
+        F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos"),
+    )
+    cnt = F.coalesce(F.col("cnt"), F.lit(0))
+    tick = F.coalesce(F.col("tick"), F.lit(0))
+    age = F.lit(T) - (tick - F.lit(1))
+    fresh = (tick > 0) & (age >= 0) & (age <= F.lit(spec.timeout))
+    return (
+        probed.join(F.broadcast(cells), "pos", "left")
+        .groupBy("__orig")
+        .agg(
+            F.min(cnt).alias("__mn"),
+            (F.min(fresh.cast("int")) == 1).alias("__all_fresh"),
+        )
+        .select(
+            F.col("__orig").alias(key if isinstance(key, str) else "key"),
+            F.when(F.col("__all_fresh"), F.col("__mn"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias(result_col),
+        )
+    )
+
+
 def build_tdcbloom_sql(df: DataFrame, spec, key, ts: str = "ts"):
     """Prehash-family time-decaying counting Bloom, zero Python in the
     build dataflow; byte-identical to the prehash kernel build."""

@@ -574,7 +574,13 @@ def q_tdbloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tdcbloom_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'How many events did user U have, counting only users active in the
-    last W seconds' — tdcbloom count vs the exact windowed GROUP BY."""
+    last W seconds' — tdcbloom count vs the exact windowed GROUP BY.
+    Also certifies the DECLARATIVE probe (bloom_sql.tdcbloom_sql_counts —
+    broadcast-join min-of-k gated on tick freshness, zero Python in the
+    plan): per key it must equal the prehash kernel's count_hashes over
+    the same SQL-built cell state (sql_matches_kernel)."""
+    from sketchlib.spark.bloom_sql import tdcbloom_cell_rows, tdcbloom_sql_counts
+
     events = _read(spark, sf_dir, "events")
     t0, t1 = _ts_bounds(events)
     window = max((t1 - t0) // 3, 1)
@@ -594,10 +600,27 @@ def q_tdcbloom_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = probe.count_asof_udf(spark, kernel, t1)(
         F.col("user_id").cast("string")
     )
+    # declarative probe vs prehash kernel probe over the same state (the
+    # prehash family — bloom_sql's hash lanes; the mmh3 kernel above stays
+    # the reference-parity carrier)
+    cells = tdcbloom_cell_rows(events, spec, "user_id", ts="ts")
+    sql_cnt = tdcbloom_sql_counts(
+        cells, spec, events, "user_id", as_of=t1, result_col="sql_cnt"
+    )
+    kern_ph, _ = build_sketch(events, spec, key="user_id", ts="ts", prehash=True)
+    kc = probe.count_hashes_column(
+        spark, kern_ph, F.col("user_id").cast("string"), as_of=t1
+    )
+    sql_matches = bool(
+        sql_cnt.withColumn("kc", kc)
+        .select(F.bool_and(F.col("sql_cnt") == F.col("kc")).alias("ok"))
+        .first()["ok"]
+    )
     return exact.select(
         "user_id",
         "recent_cnt",
         (est >= F.col("recent_cnt")).alias("est_at_least_recent"),
+        F.lit(sql_matches).alias("sql_matches_kernel"),
     )
 
 
@@ -1985,7 +2008,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT user_id,
                COUNT(*) AS recent_cnt,
-               TRUE AS est_at_least_recent
+               TRUE AS est_at_least_recent,
+               TRUE AS sql_matches_kernel
         FROM events, bounds
         WHERE epoch(ts)::BIGINT >= t1 - GREATEST((t1 - t0) // 3, 1)
         GROUP BY user_id

@@ -160,6 +160,41 @@ def test_tdcbloom_sql_byte_identity(spark, kdf):
     assert (sql_k.ticks > 0).any() and (sql_k.counters > 0).any()
 
 
+def test_tdcbloom_sql_counts_matches_kernel_probe(spark, kdf):
+    """The declarative windowed min-of-k probe equals the kernel's
+    count_hashes on the same state, per key and per as-of (inside the
+    window, at the edge, and past it — everything reads 0 once stale),
+    and its plan carries zero Python."""
+    from sketchlib.spark.bloom_sql import (
+        build_tdcbloom_sql,
+        tdcbloom_cell_rows,
+        tdcbloom_sql_counts,
+    )
+    from sketchlib.specs import TdCBloomSpec
+
+    from sketchlib.spark.probe import count_hashes_column
+
+    t0 = 1767225600
+    spec = TdCBloomSpec(5000, 0.01, timeout=3600, counter_bits=32, start_time=t0)
+    cells = tdcbloom_cell_rows(kdf, spec, "k", ts="ts").cache()
+    kern = build_tdcbloom_sql(kdf, spec, "k", ts="ts")
+    for as_of in (t0 + 1800, t0 + 3 * 86400, t0 + 8 * 86400):
+        sql_cnt = tdcbloom_sql_counts(cells, spec, kdf, "k", as_of=as_of)
+        kc = count_hashes_column(
+            spark, kern, F.col("k").cast("string"), as_of=as_of
+        )
+        rows = sql_cnt.withColumn("kc", kc).collect()
+        assert rows and all(r["cnt"] == r["kc"] for r in rows), f"as_of={as_of}"
+        if as_of == t0 + 8 * 86400:
+            assert all(r["cnt"] == 0 for r in rows), "stale window must read 0"
+    plan = (
+        tdcbloom_sql_counts(cells, spec, kdf, "k", as_of=t0 + 1800)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+    cells.unpersist()
+
+
 def test_tdbloom_sql_rejects_pre_epoch_ts(spark):
     spec = TdBloomSpec(100, 0.01, timeout=3600, start_time=1767225600)
     df = spark.createDataFrame(
