@@ -1796,6 +1796,93 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(emitted, docs.schema)
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained heavy hitters (streaming.py::
+    streaming_heavy_hitters — per-key-shard Misra–Gries in
+    applyInPandasWithState, update mode): the events table arrives in two
+    micro-batches; after the stream drains, every key whose exact count
+    exceeds total/(k+1) MUST be present in its shard's final summary
+    (keys never span shards, and shard_rows ≤ total keeps the MG
+    guarantee one-sided), with its estimate bracketing the true count:
+    count_lower ≤ true ≤ count_lower + undercount_bound."""
+    import os
+    import shutil
+    import tempfile
+
+    from sketchlib.specs import MGSpec
+    from sketchlib.streaming import streaming_heavy_hitters
+
+    K = 64
+    events = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    total = events.count()
+    exact = (
+        events.groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "cnt_exact")
+    )
+    heavy = exact.filter(F.col("cnt_exact") > total / (K + 1))
+    tmp = tempfile.mkdtemp(prefix="sketchlib_shh_gate_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "b1")
+        )
+        events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(src, "b2")
+        )
+        import glob as _glob
+
+        for bdir, mt in (("b1", 1_000_000_000), ("b2", 1_000_000_001)):
+            for part in _glob.glob(os.path.join(src, bdir, "*.parquet")):
+                os.utime(part, (mt, mt))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        out = streaming_heavy_hitters(stream, "event_type", MGSpec(k=K), n_shards=4)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("gate_streaming_hh")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # latest emission per key = the row from the key's shard's final
+        # micro-batch (shard_rows is monotone per shard)
+        latest = (
+            spark.table("gate_streaming_hh")
+            .groupBy("key")
+            .agg(
+                F.max_by(
+                    F.struct("count_lower", "undercount_bound"), F.col("shard_rows")
+                ).alias("s")
+            )
+            .select("key", "s.count_lower", "s.undercount_bound")
+        )
+        bracketed = (
+            F.col("count_lower").isNotNull()
+            & (F.col("count_lower") <= F.col("cnt_exact"))
+            & (F.col("cnt_exact") <= F.col("count_lower") + F.col("undercount_bound"))
+        )
+        rows = (
+            heavy.join(latest, heavy["event_type"] == latest["key"], "left")
+            .select(
+                "event_type",
+                "cnt_exact",
+                bracketed.alias("emitted_and_bracketed"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, cnt_exact long, emitted_and_bracketed boolean"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "hll_sql_distinct": q_hll_sql_distinct,
@@ -1847,6 +1934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "streaming_sketch_build": q_streaming_sketch_build,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
 }
 
 _DUP_PAIRS_ORACLE = """
@@ -2248,6 +2336,14 @@ ORACLES: dict[str, str] = {
     "streaming_dedup": """
         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
         FROM documents GROUP BY text
+    """,
+    "streaming_heavy_hitters": """
+        SELECT event_type,
+               COUNT(*) AS cnt_exact,
+               TRUE AS emitted_and_bracketed
+        FROM events
+        GROUP BY event_type
+        HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 65.0
     """,
     "multimodal_features": """
         SELECT COUNT(*) AS n_media,
