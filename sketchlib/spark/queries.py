@@ -1883,6 +1883,77 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_archbloom_fleet_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The archbloom DataSource through the gate (spark/archbloom_source.py,
+    previously pytest-only): two Bloom filters (click-users, purchase-users)
+    are written as native C ``!bloomf!`` files via
+    ``df.write.format("archbloom")`` (two-phase atomic writer), read back
+    as a fleet via ``spark.read.format("archbloom")``, OR-merged with
+    ``import_merged`` (kind-checked fold), and the union filter must
+    contain EVERY click/purchase user (no false negatives — the merge
+    algebra of src/bloom.c:773-817 re-expressed over files)."""
+    import os
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.archbloom_source import (
+        ArchbloomDataSource,
+        import_merged,
+    )
+
+    spark.dataSource.register(ArchbloomDataSource)
+    events = _read(spark, sf_dir, "events")
+    spec = BloomSpec(200_000, 1e-6)
+    ka, _ = build_sketch(
+        events.filter(F.col("event_type") == "click"),
+        BloomSpec(200_000, 1e-6, name="click_users"),
+        key="user_id",
+    )
+    kb, _ = build_sketch(
+        events.filter(F.col("event_type") == "purchase"),
+        BloomSpec(200_000, 1e-6, name="purchase_users"),
+        key="user_id",
+    )
+    fleet_df = spark.createDataFrame(
+        [
+            Row(name="click_users", kind="bloom",
+                spec_json=ka.spec.to_json(), state=bytearray(ka.serialize())),
+            Row(name="purchase_users", kind="bloom",
+                spec_json=kb.spec.to_json(), state=bytearray(kb.serialize())),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="sketchlib_fleet_gate_")
+    try:
+        out_dir = os.path.join(tmp, "filters")
+        fleet_df.write.format("archbloom").mode("overwrite").save(out_dir)
+        fleet = spark.read.format("archbloom").load(out_dir)
+        meta = fleet.select("name", "kind", "nbytes").collect()
+        fleet_ok = (
+            len(meta) == 2
+            and {r["name"] for r in meta} == {"click_users", "purchase_users"}
+            and all(r["kind"] == "bloom" for r in meta)
+            and all(r["nbytes"] == spec.nbytes for r in meta)
+        )
+        merged = import_merged(fleet, kind="bloom")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    union = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id")
+        .distinct()
+    )
+    contains_all = bool(
+        union.select(
+            F.bool_and(probe.probe_column(spark, merged, "user_id")).alias("ok")
+        ).first()["ok"]
+    )
+    return union.select(
+        "user_id",
+        F.lit(bool(fleet_ok)).alias("fleet_read_ok"),
+        F.lit(contains_all).alias("union_contains_all"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "hll_sql_distinct": q_hll_sql_distinct,
@@ -1935,6 +2006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sketch_build": q_streaming_sketch_build,
     "streaming_dedup": q_streaming_dedup,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    "archbloom_fleet_merge": q_archbloom_fleet_merge,
 }
 
 _DUP_PAIRS_ORACLE = """
@@ -2344,6 +2416,13 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
         HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 65.0
+    """,
+    "archbloom_fleet_merge": """
+        SELECT DISTINCT user_id,
+               TRUE AS fleet_read_ok,
+               TRUE AS union_contains_all
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
     """,
     "multimodal_features": """
         SELECT COUNT(*) AS n_media,
