@@ -483,6 +483,25 @@ columns cross to Python; sketchlib/spark/prehash.py).  The mmh3-parity mode
 | prehash kernel suite, weak ({weak_lo['rows']:,} vs {strong_hi['rows']:,} turns) | local[2] | local[8] | {weak_lo['suite_sec']} s | {strong_hi['suite_sec']} s | {weak_lo['turns_per_sec']:,} | {strong_hi['turns_per_sec']:,} | **{weak_eff:.3f}** |
 | JVM-only control (scan+xxhash64+agg, zero Python) | local[2] | local[8] | {jvm_lo['suite_sec']} s | {jvm_hi['suite_sec']} s | {jvm_lo['turns_per_sec']:,} | {jvm_hi['turns_per_sec']:,} | **{jvm_eff:.3f}** |
 
+**Weak-scaling methodology (acceptance regime).**  Weak scaling asks: does
+per-core throughput hold when data and cores grow together?  Its textbook
+definition (Gustafson's scaled speedup) requires the work PER CORE to stay
+constant between levels.  The **constant-work rows** satisfy that: quarter
+input on the 1-executor level with the 4N level's sketch geometry held
+fixed, so every core hashes the same k lanes into the same-sized cell
+space at both levels — identical per-row work by construction.  Those are
+the acceptance numbers (≥ 0.8; measured above).  The plain "weak" rows
+re-size each level's sketches to its own n — the natural provisioning
+choice, but it makes the lo level's per-row work strictly cheaper (4x
+smaller bitmaps → hotter caches, 4x smaller aggregation state), so the
+ratio under-reports the engine: it mixes engine scaling with the
+super-linear cost of PROVISIONING 4x sketch capacity, which a 4x-bigger
+real cluster pays in exchange for holding 4x the data's sketch state.
+Both regimes run identical code and differ only in the lo level's spec
+sizing; both are reported, here and in bench.py
+(`scaling_efficiency_cluster_weak` = constant-work,
+`*_scaled_geometry` = re-sized).
+
 The SQL suite builds the identical five sketches (same specs, same xxhash64
 hash family, kernels byte-identical to the prehash build — property-tested)
 but the whole dataflow is whole-stage codegen + one hash aggregate; its
