@@ -33,6 +33,8 @@ from sketchlib.spark.bloom_sql import (  # noqa: F401
     tdbloom_cell_rows,
     tdbloom_sql_members,
     tdcbloom_cell_rows,
+    tdcbloom_from_cells,
+    tdcbloom_sql_counts,
 )
 from sketchlib.spark.suite_sql import (  # noqa: F401
     build_cms_sql_km,

@@ -399,26 +399,53 @@ def tdbloom_sql_members(
 # tdcbloom
 # ---------------------------------------------------------------------------
 
-def tdcbloom_cell_rows(df: DataFrame, spec, key, ts: str = "ts") -> DataFrame:
+def tdcbloom_cell_rows(
+    df: DataFrame, spec, key, ts: str = "ts", prereduce: bool = False
+) -> DataFrame:
     """Aggregated SoA cells ``(pos, cnt, tick)`` — the saturating counter
     is ``least(count, cap)`` (add-only streams) and the tick is the
     freshest event-time stamp, exactly kernels/tdcbloom.py::update_hashes
-    (``_scatter_sat_add`` + ``np.maximum.at``)."""
-    staged = _staged_positions(
-        df, key, spec.k, spec.m, extra={"__tick": _tick_col(spec, ts)}
+    (``_scatter_sat_add`` + ``np.maximum.at``).
+
+    ``prereduce=True`` turns on a key-level pre-reduction before the
+    explode×k (the suite_sql.py low_cardinality trick): the per-key
+    sufficient statistic (add count, max tick) is aggregated over the
+    hash pair first, so the explode runs over #distinct-keys rows instead
+    of #rows.  Saturating +1 adds compose as ``least(sum, cap)``, so the
+    final cells are identical (property-tested).  Opt-in: for near-unique
+    keys the pre-reduction map would be data-sized."""
+    h1, h2 = prehash_pair(key)
+    lanes = (
+        df.select(h1.alias("__h1"), h2.alias("__h2"), _tick_col(spec, ts).alias("__t"))
+        .filter(F.col("__h1").isNotNull() & F.col("__t").isNotNull())
+    )
+    if prereduce:
+        lanes = lanes.groupBy("__h1", "__h2").agg(
+            F.max("__t").alias("__t"),
+            F.count(F.lit(1)).alias("__w"),
+        )
+    else:
+        lanes = lanes.withColumn("__w", F.lit(1).cast("bigint"))
+    staged = lanes.select(
+        *[
+            _pos_expr(F.col("__h1"), F.col("__h2"), i, spec.m).alias(f"__p{i}")
+            for i in range(spec.k)
+        ],
+        F.col("__t"),
+        F.col("__w"),
     )
     return (
-        staged.filter(F.col("__tick").isNotNull())
-        .select(
+        staged.select(
             F.explode(
                 F.array(*[F.col(f"__p{i}") for i in range(spec.k)])
             ).alias("pos"),
-            F.col("__tick").alias("t"),
+            F.col("__t").alias("t"),
+            F.col("__w"),
         )
         .filter(F.col("pos").isNotNull())
         .groupBy("pos")
         .agg(
-            F.least(F.count(F.lit(1)), F.lit(spec.cap)).alias("cnt"),
+            F.least(F.sum("__w"), F.lit(spec.cap)).alias("cnt"),
             F.max("t").alias("tick"),
         )
     )
@@ -474,12 +501,14 @@ def tdcbloom_sql_counts(
     )
 
 
-def build_tdcbloom_sql(df: DataFrame, spec, key, ts: str = "ts"):
-    """Prehash-family time-decaying counting Bloom, zero Python in the
-    build dataflow; byte-identical to the prehash kernel build."""
+def tdcbloom_from_cells(cells: DataFrame, spec):
+    """Materialize a :class:`TdCBloomFilter` kernel from an already-built
+    cell frame (:func:`tdcbloom_cell_rows`) — a state-sized collect, no
+    second pass over the input.  Byte-identical to the prehash kernel
+    build (property-tested in tests/test_bloom_sql.py)."""
     from sketchlib.kernels import TdCBloomFilter
 
-    rows = tdcbloom_cell_rows(df, spec, key, ts).collect()
+    rows = cells.collect()
     if rows:
         ticks_arr = np.array([r["tick"] for r in rows], dtype=np.int64)
         if ticks_arr.min() < 1:
@@ -495,3 +524,9 @@ def build_tdcbloom_sql(df: DataFrame, spec, key, ts: str = "ts"):
         )
         ticks[idx] = ticks_arr.astype(np.int32)
     return TdCBloomFilter(spec, counters, ticks)
+
+
+def build_tdcbloom_sql(df: DataFrame, spec, key, ts: str = "ts"):
+    """Prehash-family time-decaying counting Bloom, zero Python in the
+    build dataflow; byte-identical to the prehash kernel build."""
+    return tdcbloom_from_cells(tdcbloom_cell_rows(df, spec, key, ts), spec)

@@ -602,12 +602,19 @@ def q_tdcbloom_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # declarative probe vs prehash kernel probe over the same state (the
     # prehash family — bloom_sql's hash lanes; the mmh3 kernel above stays
-    # the reference-parity carrier)
-    cells = tdcbloom_cell_rows(events, spec, "user_id", ts="ts")
+    # the reference-parity carrier).  One cell build serves both sides:
+    # the kernel is materialized from the cached cell frame (state-sized),
+    # not a second pass over events — cells==prehash-build byte-identity
+    # is property-tested in tests/test_bloom_sql.py.
+    from sketchlib.spark.bloom_sql import tdcbloom_from_cells
+
+    cells = tdcbloom_cell_rows(
+        events, spec, "user_id", ts="ts", prereduce=True
+    ).cache()
     sql_cnt = tdcbloom_sql_counts(
         cells, spec, events, "user_id", as_of=t1, result_col="sql_cnt"
     )
-    kern_ph, _ = build_sketch(events, spec, key="user_id", ts="ts", prehash=True)
+    kern_ph = tdcbloom_from_cells(cells, spec)
     kc = probe.count_hashes_column(
         spark, kern_ph, F.col("user_id").cast("string"), as_of=t1
     )

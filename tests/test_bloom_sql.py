@@ -254,3 +254,34 @@ def test_wrap_arithmetic_adversarial_vs_bigint_truth(spark):
             assert r[f"mul_{c}"] % (1 << 64) == (ua * c) % (1 << 64), (ua, c)
         for m in mods:
             assert r[f"mod_{m}"] == ua % m, (ua, m)
+
+
+def test_tdcbloom_prereduce_cells_identical(spark, kdf):
+    """Key-level pre-reduction (explode over distinct keys with a per-key
+    (sum, max-tick) statistic) yields the exact same aggregated cell frame
+    as the per-row explode — saturating +1 adds compose as least(sum, cap)
+    through the key level.  Also certifies tdcbloom_from_cells == the
+    prehash kernel build over either frame."""
+    from sketchlib.spark.bloom_sql import tdcbloom_cell_rows, tdcbloom_from_cells
+    from sketchlib.specs import TdCBloomSpec
+
+    # cap-sensitive geometry: 8-bit counters saturate on the hot keys
+    spec = TdCBloomSpec(
+        2000, 0.01, timeout=86400, counter_bits=8, start_time=1767225600
+    )
+    plain = {
+        r["pos"]: (r["cnt"], r["tick"])
+        for r in tdcbloom_cell_rows(kdf, spec, "k", ts="ts").collect()
+    }
+    pre = {
+        r["pos"]: (r["cnt"], r["tick"])
+        for r in tdcbloom_cell_rows(
+            kdf, spec, "k", ts="ts", prereduce=True
+        ).collect()
+    }
+    assert plain == pre and plain
+    kern, _ = build_sketch(kdf, spec, key="k", ts="ts", prehash=True)
+    mat = tdcbloom_from_cells(
+        tdcbloom_cell_rows(kdf, spec, "k", ts="ts", prereduce=True), spec
+    )
+    assert mat.serialize() == kern.serialize()
