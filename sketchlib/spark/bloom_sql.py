@@ -161,7 +161,9 @@ def _word_mask_entries(k: int) -> Column:
 # bloom
 # ---------------------------------------------------------------------------
 
-def bloom_word_rows(df: DataFrame, spec: BloomSpec, key) -> DataFrame:
+def bloom_word_rows(
+    df: DataFrame, spec: BloomSpec, key, prereduce: bool = False
+) -> DataFrame:
     """The aggregated bitmap as 64-bit words ``(w bigint, word bigint)`` —
     at most ``ceil(m/64)`` rows regardless of input size (map-side combine
     runs inside whole-stage codegen).  Word w's little-endian bytes are
@@ -172,8 +174,27 @@ def bloom_word_rows(df: DataFrame, spec: BloomSpec, key) -> DataFrame:
     derived post-explode: primitive arrays stay unboxed in UnsafeArrayData,
     while an array<struct> explode allocates a generic row per entry
     (measured ~25% slower here and pathologically slow when many such
-    arrays are concatenated)."""
-    staged = _staged_positions(df, key, spec.k, spec.m)
+    arrays are concatenated).
+
+    ``prereduce=True`` dedupes the hash pair before the explode×k (set
+    bits are idempotent — presence is the per-key sufficient statistic),
+    so the explode runs over #distinct-keys rows instead of #rows.
+    Opt-in: for near-unique keys the dedupe map would be data-sized."""
+    if prereduce:
+        h1, h2 = prehash_pair(key)
+        lanes = (
+            df.select(h1.alias("__h1"), h2.alias("__h2"))
+            .filter(F.col("__h1").isNotNull())
+            .distinct()
+        )
+        staged = lanes.select(
+            *[
+                _pos_expr(F.col("__h1"), F.col("__h2"), i, spec.m).alias(f"__p{i}")
+                for i in range(spec.k)
+            ]
+        )
+    else:
+        staged = _staged_positions(df, key, spec.k, spec.m)
     pos = staged.select(
         F.explode(
             F.array(*[F.col(f"__p{i}") for i in range(spec.k)])
@@ -203,13 +224,18 @@ def _words_to_bits(rows, nbytes: int) -> np.ndarray:
     return words.astype("<i8").view(np.uint8)[:nbytes].copy()
 
 
-def build_bloom_sql(df: DataFrame, spec: BloomSpec, key) -> BloomFilter:
+def build_bloom_sql(
+    df: DataFrame, spec: BloomSpec, key, prereduce: bool = False
+) -> BloomFilter:
     """Build a prehash-family Bloom filter with zero Python in the build
     dataflow.  Byte-identical to ``build_sketch(df, spec, key=key,
     prehash=True)`` over the same rows (property-tested), so the result
     merges freely with prehash kernel builds and probes with
     ``probe_column(..., prehash=True)``."""
-    rows = [(r["w"], r["word"]) for r in bloom_word_rows(df, spec, key).collect()]
+    rows = [
+        (r["w"], r["word"])
+        for r in bloom_word_rows(df, spec, key, prereduce=prereduce).collect()
+    ]
     return BloomFilter(spec, _words_to_bits(rows, spec.nbytes))
 
 
@@ -249,31 +275,70 @@ def bloom_sql_members(
 # cbloom
 # ---------------------------------------------------------------------------
 
-def cbloom_cell_rows(df: DataFrame, spec: CBloomSpec, key) -> DataFrame:
+def cbloom_cell_rows(
+    df: DataFrame, spec: CBloomSpec, key, prereduce: bool = False
+) -> DataFrame:
     """Aggregated counters ``(pos bigint, cnt bigint)`` — ≤ m rows, counts
     saturated at the spec's counter cap (sequential saturating +1 adds end
-    at ``min(total, cap)``, so the declarative form is exact)."""
-    staged = _staged_positions(df, key, spec.k, spec.m)
+    at ``min(total, cap)``, so the declarative form is exact).
+
+    ``prereduce=True`` aggregates the per-key add count over the hash pair
+    before the explode×k (suite_sql.py's low_cardinality trick; saturating
+    +1 adds compose as ``least(sum, cap)`` through the key level), so the
+    explode runs over #distinct-keys rows instead of #rows.  Opt-in: wrong
+    choice for near-unique keys."""
+    if prereduce:
+        h1, h2 = prehash_pair(key)
+        lanes = (
+            df.select(h1.alias("__h1"), h2.alias("__h2"))
+            .filter(F.col("__h1").isNotNull())
+            .groupBy("__h1", "__h2")
+            .agg(F.count(F.lit(1)).alias("__w"))
+        )
+    else:
+        h1, h2 = prehash_pair(key)
+        lanes = df.select(h1.alias("__h1"), h2.alias("__h2")).withColumn(
+            "__w", F.lit(1).cast("bigint")
+        )
+    staged = lanes.select(
+        *[
+            _pos_expr(F.col("__h1"), F.col("__h2"), i, spec.m).alias(f"__p{i}")
+            for i in range(spec.k)
+        ],
+        F.col("__w"),
+    )
     return (
         staged.select(
-            F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos")
+            F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias(
+                "pos"
+            ),
+            F.col("__w"),
         )
         .filter(F.col("pos").isNotNull())
         .groupBy("pos")
-        .agg(F.least(F.count(F.lit(1)), F.lit(spec.cap)).alias("cnt"))
+        .agg(F.least(F.sum("__w"), F.lit(spec.cap)).alias("cnt"))
     )
 
 
-def build_cbloom_sql(df: DataFrame, spec: CBloomSpec, key) -> CountingBloomFilter:
-    """Prehash-family counting Bloom, zero Python in the build dataflow;
-    byte-identical to the prehash kernel build for +1 add streams."""
-    rows = cbloom_cell_rows(df, spec, key).collect()
+def cbloom_from_cells(cells: DataFrame, spec: CBloomSpec) -> CountingBloomFilter:
+    """Materialize a :class:`CountingBloomFilter` kernel from an
+    already-built cell frame (:func:`cbloom_cell_rows`) — a state-sized
+    collect, no second pass over the input."""
+    rows = cells.collect()
     counters = np.zeros(spec.m, dtype=spec.dtype)
     if rows:
         counters[np.array([r["pos"] for r in rows], dtype=np.int64)] = np.array(
             [r["cnt"] for r in rows], dtype=np.uint64
         ).astype(spec.dtype)
     return CountingBloomFilter(spec, counters)
+
+
+def build_cbloom_sql(
+    df: DataFrame, spec: CBloomSpec, key, prereduce: bool = False
+) -> CountingBloomFilter:
+    """Prehash-family counting Bloom, zero Python in the build dataflow;
+    byte-identical to the prehash kernel build for +1 add streams."""
+    return cbloom_from_cells(cbloom_cell_rows(df, spec, key, prereduce=prereduce), spec)
 
 
 def cbloom_sql_counts(
@@ -315,29 +380,49 @@ def _tick_col(spec: TdBloomSpec, ts) -> Column:
     return (F.unix_timestamp(t) - F.lit(spec.start_time) + F.lit(1)).cast("bigint")
 
 
-def tdbloom_cell_rows(df: DataFrame, spec: TdBloomSpec, key, ts: str = "ts") -> DataFrame:
+def tdbloom_cell_rows(
+    df: DataFrame, spec: TdBloomSpec, key, ts: str = "ts", prereduce: bool = False
+) -> DataFrame:
     """Aggregated ticks ``(pos bigint, tick bigint)`` — ≤ m rows, freshest
-    (max) event-time tick per cell, exactly the kernel's ``np.maximum.at``."""
-    staged = _staged_positions(
-        df, key, spec.k, spec.m, extra={"__tick": _tick_col(spec, ts)}
+    (max) event-time tick per cell, exactly the kernel's ``np.maximum.at``.
+
+    ``prereduce=True`` aggregates the per-key max tick over the hash pair
+    before the explode×k (max is associative through the key level), so
+    the explode runs over #distinct-keys rows instead of #rows.  Opt-in:
+    wrong choice for near-unique keys."""
+    h1, h2 = prehash_pair(key)
+    lanes = (
+        df.select(
+            h1.alias("__h1"), h2.alias("__h2"), _tick_col(spec, ts).alias("__t")
+        )
+        .filter(F.col("__h1").isNotNull() & F.col("__t").isNotNull())
+    )
+    if prereduce:
+        lanes = lanes.groupBy("__h1", "__h2").agg(F.max("__t").alias("__t"))
+    staged = lanes.select(
+        *[
+            _pos_expr(F.col("__h1"), F.col("__h2"), i, spec.m).alias(f"__p{i}")
+            for i in range(spec.k)
+        ],
+        F.col("__t"),
     )
     return (
         staged.select(
             F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos"),
-            F.col("__tick").alias("tick"),
+            F.col("__t").alias("tick"),
         )
-        .filter(F.col("pos").isNotNull() & F.col("tick").isNotNull())
+        .filter(F.col("pos").isNotNull())
         .groupBy("pos")
         .agg(F.max("tick").alias("tick"))
     )
 
 
 def build_tdbloom_sql(
-    df: DataFrame, spec: TdBloomSpec, key, ts: str = "ts"
+    df: DataFrame, spec: TdBloomSpec, key, ts: str = "ts", prereduce: bool = False
 ) -> TdBloomFilter:
     """Prehash-family time-decaying Bloom, zero Python in the build
     dataflow; byte-identical to the prehash kernel build."""
-    rows = tdbloom_cell_rows(df, spec, key, ts).collect()
+    rows = tdbloom_cell_rows(df, spec, key, ts, prereduce=prereduce).collect()
     if rows:
         ticks_arr = np.array([r["tick"] for r in rows], dtype=np.int64)
         if ticks_arr.min() < 1:
@@ -526,7 +611,9 @@ def tdcbloom_from_cells(cells: DataFrame, spec):
     return TdCBloomFilter(spec, counters, ticks)
 
 
-def build_tdcbloom_sql(df: DataFrame, spec, key, ts: str = "ts"):
+def build_tdcbloom_sql(df: DataFrame, spec, key, ts: str = "ts", prereduce: bool = False):
     """Prehash-family time-decaying counting Bloom, zero Python in the
     build dataflow; byte-identical to the prehash kernel build."""
-    return tdcbloom_from_cells(tdcbloom_cell_rows(df, spec, key, ts), spec)
+    return tdcbloom_from_cells(
+        tdcbloom_cell_rows(df, spec, key, ts, prereduce=prereduce), spec
+    )

@@ -180,7 +180,8 @@ def q_bloom_sql_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     members = events.filter(F.col("event_type") == "purchase")
     spec = BloomSpec(200_000, 1e-6)
-    words = bloom_word_rows(members, spec, "user_id")
+    # low-cardinality key: dedupe the hash pair before the explode×k
+    words = bloom_word_rows(members, spec, "user_id", prereduce=True)
     return (
         bloom_sql_members(words, events, spec, "user_id")
         .filter("member")
@@ -197,17 +198,21 @@ def q_cbloom_sql_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is property-tested in tests/test_bloom_sql.py (the r4 sextuple-build
     was the suite's most expensive gate)."""
     from sketchlib.spark.bloom_sql import (
-        build_cbloom_sql,
         cbloom_cell_rows,
+        cbloom_from_cells,
         cbloom_sql_counts,
     )
 
     events = _read(spark, sf_dir, "events")
     cspec = CBloomSpec(50_000, 0.001)
-    cells = cbloom_cell_rows(events, cspec, "user_id").cache()
+    # key-level pre-reduction: user_id is ~1.5k distinct over 3M events, so
+    # the explode×k runs over distinct keys; one cell build serves the
+    # probe AND the identity flag (cbloom_from_cells is a state-sized
+    # collect, not a second pass — prereduce identity is property-tested)
+    cells = cbloom_cell_rows(events, cspec, "user_id", prereduce=True).cache()
     est = cbloom_sql_counts(cells, events, cspec, "user_id")
     ckern, _ = build_sketch(events, cspec, key="user_id", prehash=True)
-    c_ident = build_cbloom_sql(events, cspec, "user_id").serialize() == ckern.serialize()
+    c_ident = cbloom_from_cells(cells, cspec).serialize() == ckern.serialize()
     exact = events.groupBy("user_id").count().withColumnRenamed("count", "cnt_exact")
     out = (
         exact.join(est, "user_id")

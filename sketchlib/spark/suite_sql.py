@@ -107,25 +107,29 @@ def build_cms_sql_km(df: DataFrame, spec: CmsSpec, key) -> CountMinSketch:
     return CountMinSketch(spec, table)
 
 
-def build_sketch_sql(df: DataFrame, spec, key, ts: str = "ts"):
+def build_sketch_sql(df: DataFrame, spec, key, ts: str = "ts", prereduce: bool = False):
     """Declarative single-sketch build, dispatched by spec kind — the
     zero-Python counterpart of ``build_sketch(..., prehash=True)`` (same
-    hash family, byte-identical result)."""
+    hash family, byte-identical result).  ``prereduce=True`` turns on the
+    bloom-family key-level pre-reduction before the explode×k (the
+    low_cardinality trick of :func:`_job_cells`) — a win when the key has
+    far fewer distinct values than rows; hll and cms ignore it (hll's
+    register agg is already key-shaped; cms has its own cell path)."""
     kind = spec.kind
     if kind == "hll":
         return build_hll_sql(df, spec, key)
     if kind == "bloom":
-        return build_bloom_sql(df, spec, key)
+        return build_bloom_sql(df, spec, key, prereduce=prereduce)
     if kind == "cbloom":
-        return build_cbloom_sql(df, spec, key)
+        return build_cbloom_sql(df, spec, key, prereduce=prereduce)
     if kind == "cms":
         return build_cms_sql_km(df, spec, key)
     if kind == "tdbloom":
-        return build_tdbloom_sql(df, spec, key, ts=ts)
+        return build_tdbloom_sql(df, spec, key, ts=ts, prereduce=prereduce)
     if kind == "tdcbloom":
         from sketchlib.spark.bloom_sql import build_tdcbloom_sql
 
-        return build_tdcbloom_sql(df, spec, key, ts=ts)
+        return build_tdcbloom_sql(df, spec, key, ts=ts, prereduce=prereduce)
     raise ValueError(
         f"no declarative build for kind {kind!r}; supported: {_SUPPORTED}"
     )

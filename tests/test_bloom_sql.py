@@ -285,3 +285,31 @@ def test_tdcbloom_prereduce_cells_identical(spark, kdf):
         tdcbloom_cell_rows(kdf, spec, "k", ts="ts", prereduce=True), spec
     )
     assert mat.serialize() == kern.serialize()
+
+
+def test_prereduce_builds_byte_identical_family(spark, kdf):
+    """prereduce=True (key-level pre-reduction / dedupe before the
+    explode×k) yields byte-identical kernels for bloom, cbloom and tdbloom
+    — presence is idempotent, saturating +1 adds compose as least(sum,cap),
+    and max-tick is associative through the key level."""
+    from sketchlib.spark.bloom_sql import (
+        build_bloom_sql,
+        build_cbloom_sql,
+        build_tdbloom_sql,
+    )
+
+    bspec = BloomSpec(5000, 0.01)
+    assert (
+        build_bloom_sql(kdf, bspec, "k", prereduce=True).serialize()
+        == build_bloom_sql(kdf, bspec, "k").serialize()
+    )
+    cspec = CBloomSpec(2000, 0.01, counter_bits=8)
+    assert (
+        build_cbloom_sql(kdf, cspec, "k", prereduce=True).serialize()
+        == build_cbloom_sql(kdf, cspec, "k").serialize()
+    )
+    tspec = TdBloomSpec(5000, 0.01, timeout=86400, start_time=1767225600)
+    assert (
+        build_tdbloom_sql(kdf, tspec, "k", ts="ts", prereduce=True).serialize()
+        == build_tdbloom_sql(kdf, tspec, "k", ts="ts").serialize()
+    )
