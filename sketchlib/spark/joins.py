@@ -14,11 +14,13 @@ let the join see only surviving rows.
 The probe is zero-shuffle and zero-Python: the k Kirsch–Mitzenmacher
 positions are codegen expressions (the same ladder the builds use), and
 the bitmap is a constant array — ``element_at(<literal>, pos>>6) & mask``
-runs inside WholeStageCodegen next to the parquet scan, so the prune
-happens before the exchange.  False positives pass the prune and are then
-removed by the real join — ``bloom_pruned_join`` is EXACTLY a plain inner
-join, just cheaper: the shuffle carries ~(selectivity + p) of the fact
-table instead of all of it.
+runs inside WholeStageCodegen in the scan's task pipeline, so the prune
+happens before the exchange (each bit test is its own projected field
+with an observe() barrier before the filter — see ``_filter_all_bits``
+for why that shape is required to stay compiled).  False positives pass
+the prune and are then removed by the real join — ``bloom_pruned_join``
+is EXACTLY a plain inner join, just cheaper: the shuffle carries
+~(selectivity + p) of the fact table instead of all of it.
 
 Memory shape: the literal holds m/64 longs (spec.nbytes bytes — e.g. 1.2 MB
 at n=1M, p=1%); it ships once per task closure like any broadcast.  Size
@@ -26,6 +28,8 @@ the spec for the DIM side (the small relation), never the fact side.
 """
 
 from __future__ import annotations
+
+import itertools
 
 import numpy as np
 
@@ -87,11 +91,12 @@ def bloom_prune(
     if spec.nbytes > LITERAL_BITMAP_MAX_BYTES:
         return _prune_via_broadcast_words(df, key, spec, words)
     arr = _words_literal(dense_words(words, spec))
+
     staged = _staged_positions(
         df, F.col(key) if isinstance(key, str) else key, spec.k, spec.m,
         extra={c: F.col(c) for c in df.columns},
     )
-    keep = None
+    bits = []
     for i in range(spec.k):
         p = F.col(f"__p{i}")
         word = F.element_at(arr, (F.shiftrightunsigned(p, 6) + 1).cast("int"))
@@ -99,9 +104,12 @@ def bloom_prune(
             "shiftleft", F.lit(1).cast("bigint"),
             p.bitwiseAND(F.lit(63)).cast("int"),
         )
-        cond = word.bitwiseAND(mask) != 0
-        keep = cond if keep is None else (keep & cond)
-    return staged.filter(keep).select(*df.columns)
+        bits.append((word.bitwiseAND(mask) != 0).alias(f"__b{i}"))
+    # Null keys → null __b{i} → NULL conjunction → filter drops (the
+    # documented null semantics).
+    return _filter_all_bits(
+        staged.select(*df.columns, *bits), spec.k, df.columns, "literal"
+    )
 
 
 def _prune_via_broadcast_words(
@@ -117,6 +125,14 @@ def _prune_via_broadcast_words(
     staged = _staged_positions(
         df, F.col(key) if isinstance(key, str) else key, spec.k, spec.m,
         extra={c: F.col(c) for c in df.columns},
+    )
+    # observe() barrier: without it the optimizer substitutes the __p{i}
+    # aliases into the k join keys and the joint codegen method blows the
+    # janino 64 KB limit (see _filter_all_bits) — with it the joins key on
+    # bare attribute refs
+    staged = staged.observe(
+        f"bloom_prune_words_{next(_PRUNE_SEQ)}",
+        F.count(F.lit(1)).alias("rows_probed"),
     )
     keep = None
     for i in range(spec.k):
@@ -139,6 +155,44 @@ def _prune_via_broadcast_words(
         )
         keep = cond if keep is None else (keep & cond)
     return staged.filter(keep).select(*df.columns)
+
+
+#: per-process counter for unique observe() names (Spark requires metric
+#: names to be unique within one query, and bloom_prune may appear several
+#: times in a plan)
+_PRUNE_SEQ = itertools.count()
+
+
+def _filter_all_bits(
+    flagged: DataFrame, k: int, out_cols: list[str], tag: str
+) -> DataFrame:
+    """``flagged`` (payload + ``__b0..__b{k-1}`` booleans) → rows where all
+    k bits are set, projected back to ``out_cols``.
+
+    The two-step shape — bit tests as their OWN projected fields, then a
+    filter on the bare attribute refs — is load-bearing for codegen:
+    ProjectExec splits each field into its own generated method, while a
+    Filter condition (or join key) is always emitted inline into ONE
+    method, so the earlier k-way conjunction of full position trees blew
+    janino's 64 KB method limit at k=4+ and silently ran the whole probe
+    stage INTERPRETED (re-attempting the failed compile on every
+    execution — measured ~2 s/run at sf0.1, ~10x slower per row at scale;
+    HOF forall() is no better, higher-order functions are
+    CodegenFallback).  The ``observe`` between them is a predicate-
+    pushdown barrier: without it the optimizer substitutes the ``__b{i}``
+    aliases back into the filter condition and re-creates the giant
+    method.  It also reports ``rows_probed`` per probe as a free metric
+    (query lineage).  The filter still runs in the same task pipeline,
+    before any exchange — nothing about the prune's plan position
+    changes."""
+    flagged = flagged.observe(
+        f"bloom_prune_{tag}_{next(_PRUNE_SEQ)}",
+        F.count(F.lit(1)).alias("rows_probed"),
+    )
+    keep = F.col("__b0")
+    for i in range(1, k):
+        keep = keep & F.col(f"__b{i}")
+    return flagged.filter(keep).select(*out_cols)
 
 
 def bloom_pruned_join(

@@ -121,3 +121,46 @@ def test_large_bitmap_fallback_column_key(spark, tables, monkeypatch):
     monkeypatch.setattr(joins, "LITERAL_BITMAP_MAX_BYTES", 1)
     fb = joins.bloom_prune(events, key_expr, spec, build_from=dim_up).count()
     assert fb == lit
+
+def test_probe_stays_compiled_no_janino_overflow():
+    """Regression: a filter/join-key conjunction of k full position trees
+    blows janino's 64 KB method limit at k>=4, and Spark then silently
+    runs the probe stage INTERPRETED, re-attempting the failed compile on
+    every execution (~10x slower per row at scale).  The fix is the
+    projected-bit-fields + observe()-barrier shape (joins._filter_all_bits).
+    The fallback is invisible in results — only the JVM's stderr shows it —
+    so probe both paths at k=11 in a fresh JVM and assert the compiler
+    never overflowed."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        from pyspark.sql import functions as F
+        from sketchlib.spark import get_spark, joins
+        from sketchlib.specs import BloomSpec
+        spark = get_spark("janino-probe", cpus=2, shuffle_partitions=2)
+        events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        dim = (
+            events.filter(F.col("event_type") == "purchase")
+            .select("user_id").distinct()
+        )
+        spec = BloomSpec(10_000, 0.0005)
+        assert spec.k >= 9, spec.k
+        n_lit = joins.bloom_prune(events, "user_id", spec, build_from=dim).count()
+        joins.LITERAL_BITMAP_MAX_BYTES = 1  # force the broadcast-words path
+        n_fb = joins.bloom_prune(events, "user_id", spec, build_from=dim).count()
+        assert n_lit == n_fb > 0, (n_lit, n_fb)
+        print("ROWS", n_lit)
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "grows beyond 64 KB" not in r.stderr, (
+        "probe plan fell back to interpreted execution (janino overflow)"
+    )
+    assert "ROWS" in r.stdout
