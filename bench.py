@@ -395,6 +395,7 @@ def bench_queries(spark) -> dict[str, float]:
     t0_phase = time.perf_counter()
     query_budget = 0.55 * _BUDGET_SEC
     out: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for r in range(runs):
         if r > 0 and time.perf_counter() - t0_phase > query_budget:
             break
@@ -403,6 +404,7 @@ def bench_queries(spark) -> dict[str, float]:
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)
             out[name] = min(out.get(name, float("inf")), dt)
+            samples.setdefault(name, []).append(dt)
 
     # TARGETED retries: a burst that swallows the whole pass leaves every
     # query with one poisoned sample (round 4's driver run skipped pass 2
@@ -428,7 +430,15 @@ def bench_queries(spark) -> dict[str, float]:
             qfns[name](spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)
             out[name] = min(out[name], dt)
-    return out
+            samples.setdefault(name, []).append(dt)
+    medians = {n: round(_median(s), 3) for n, s in samples.items()}
+    return out, medians
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else 0.5 * (s[mid - 1] + s[mid])
 
 
 def _load_budgets() -> dict:
@@ -623,7 +633,7 @@ def main() -> None:
     )
     t_all = time.perf_counter()
     tr_stats = bench_transcripts(spark)
-    queries = bench_queries(spark)
+    queries, query_medians = bench_queries(spark)
     probe_stats = bench_probe_join(spark)
     total = round(time.perf_counter() - t_all, 3)
     # mechanical regression gate: times vs the recorded per-query budgets
@@ -642,6 +652,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # median over every sample a query ran this invocation (passes +
+        # targeted retries) — min is the budget-gate statistic (isolates
+        # the engine from tenant bursts), the median shows the run's
+        # typical wall alongside; full artifact only, stdout stays minimal
+        "queries_median": query_medians,
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "budget_violations": violations,
