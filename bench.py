@@ -396,9 +396,13 @@ def bench_queries(spark) -> dict[str, float]:
     query_budget = 0.55 * _BUDGET_SEC
     out: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    control_secs: list[float] = []
+    _control_sec(spark)  # warm the control's codegen, untimed
     for r in range(runs):
         if r > 0 and time.perf_counter() - t0_phase > query_budget:
             break
+        # env anchor, interleaved with each pass (see _control_sec)
+        control_secs.append(_control_sec(spark))
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
@@ -416,13 +420,14 @@ def bench_queries(spark) -> dict[str, float]:
     # sharpens the gate's signal instead of loosening it.
     retry_budget = float(os.environ.get("SKETCHLIB_RETRY_BUDGET_SEC", "240"))
     max_retries = int(os.environ.get("SKETCHLIB_MAX_RETRIES", "4"))
-    budgets = _load_budgets()
+    gate = _load_gate()
     t0_retry = time.perf_counter()
     qfns = entrymod.queries()
     for attempt in range(max_retries):
-        over = sorted(_violations(out, budgets))
+        over = sorted(_violations(out, gate))
         if not over or time.perf_counter() - t0_retry > retry_budget:
             break
+        control_secs.append(_control_sec(spark))
         for name in over:
             if time.perf_counter() - t0_retry > retry_budget:
                 break
@@ -432,7 +437,7 @@ def bench_queries(spark) -> dict[str, float]:
             out[name] = min(out[name], dt)
             samples.setdefault(name, []).append(dt)
     medians = {n: round(_median(s), 3) for n, s in samples.items()}
-    return out, medians
+    return out, medians, round(min(control_secs), 3)
 
 
 def _median(xs: list[float]) -> float:
@@ -441,20 +446,48 @@ def _median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else 0.5 * (s[mid - 1] + s[mid])
 
 
-def _load_budgets() -> dict:
-    """BENCH/query_budgets.json: ``budgets`` = 1.5x a recorded clean-run
-    min per query (regression thresholds)."""
+def _load_gate() -> dict:
+    """BENCH/query_budgets.json: ``budgets`` = max(1.5x clean-run min, 2s
+    floor) per query (regression thresholds), ``mins`` = the RAW recorded
+    clean-run mins (the env-scale denominators — the floor distorts
+    budgets/1.5 for sub-1.33s queries), ``control_min`` = the pure-JVM
+    control's clean min (see :func:`_control_sec`)."""
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH", "query_budgets.json")
         ) as f:
-            return json.load(f)["budgets"]
+            g = json.load(f)
+        g.setdefault("mins", {})
+        return g
     except (OSError, KeyError, ValueError):
-        return {}
+        return {"budgets": {}, "mins": {}}
 
 
-def env_scale(out: dict, budgets: dict) -> float:
+def _control_sec(spark) -> float:
+    """A fixed pure-JVM control job — range scan, xxhash64, shuffle,
+    aggregate; zero sketchlib code, zero Python, zero disk — whose wall
+    time moves ONLY with the environment (scheduler, JVM, memory
+    bandwidth).  Its ratio vs the recorded clean min anchors env_scale:
+    a tenant burst inflates control and queries together, while a broad
+    CODE regression (e.g. the whole bloom family losing codegen) inflates
+    the query median but not the control — that divergence is reported as
+    ``budget_env_unexplained`` (see main)."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 20_000_000, 1, 32)
+        .select(F.xxhash64("id").alias("h"))
+        .groupBy(F.pmod("h", F.lit(1024)).alias("b"))
+        # bit_xor/count, not sum: summing 20M xxhash64 values overflows
+        # int64 and ANSI mode makes that an error, not a wrap
+        .agg(F.bit_xor("h").alias("x"), F.count("*").alias("c"))
+        .agg(F.sum("c"), F.bit_xor("x"))
+        .collect()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
+def env_scale(out: dict, gate: dict) -> float:
     """The run's uniform environment-slowdown factor: the MEDIAN over all
     budgeted queries of (measured / recorded-clean-min), floored at 1.
 
@@ -464,24 +497,22 @@ def env_scale(out: dict, budgets: dict) -> float:
     together — the median ratio captures that shared factor, while a real
     code regression moves ONE query's ratio far above the median and a
     single regression among ~50 queries cannot drag the median itself.
-    Recorded mins are budgets/1.5 (see query_budgets.json's note)."""
+    Denominators are the RAW recorded mins (gate["mins"]); budgets/1.5
+    is only the fallback for a mins-less legacy file — the 2s budget
+    floor would otherwise understate sub-1.33s queries' ratios and bias
+    the median low."""
+    budgets, mins = gate["budgets"], gate["mins"]
     ratios = sorted(
-        out[k] / (budgets[k] / 1.5)
+        out[k] / (mins.get(k) or budgets[k] / 1.5)
         for k in out
         if k in budgets and budgets[k] > 0
     )
     if not ratios:
         return 1.0
-    mid = len(ratios) // 2
-    med = (
-        ratios[mid]
-        if len(ratios) % 2
-        else 0.5 * (ratios[mid - 1] + ratios[mid])
-    )
-    return max(1.0, round(med, 3))
+    return max(1.0, round(_median(ratios), 3))
 
 
-def _violations(out: dict, budgets: dict) -> dict:
+def _violations(out: dict, gate: dict) -> dict:
     """Normalized regression check: query q is flagged iff
 
         sec_q > budget_q * env_scale + 0.5 s
@@ -492,7 +523,8 @@ def _violations(out: dict, budgets: dict) -> dict:
     ~80 ms of scheduler noise).  A genuine code regression stays over
     its scaled budget no matter how quiet the box is; a uniformly slow
     run scales every budget together and clears."""
-    scale = env_scale(out, budgets)
+    scale = env_scale(out, gate)
+    budgets = gate["budgets"]
     return {
         k: {"sec": v, "budget": budgets[k], "env_scale": scale}
         for k, v in out.items()
@@ -606,6 +638,8 @@ def _emit(result: dict) -> None:
             "budget_violations": sorted(result.get("budget_violations", {})),
             "budget_env_scale": result.get("budget_env_scale"),
             "budget_raw_over": len(result.get("budget_raw_over", [])),
+            "budget_env_control_ratio": result.get("budget_env_control_ratio"),
+            "budget_env_unexplained": result.get("budget_env_unexplained"),
             "full": "BENCH/bench_last.json",
         }
 
@@ -633,7 +667,7 @@ def main() -> None:
     )
     t_all = time.perf_counter()
     tr_stats = bench_transcripts(spark)
-    queries, query_medians = bench_queries(spark)
+    queries, query_medians, control_sec = bench_queries(spark)
     probe_stats = bench_probe_join(spark)
     total = round(time.perf_counter() - t_all, 3)
     # mechanical regression gate: times vs the recorded per-query budgets
@@ -641,11 +675,26 @@ def main() -> None:
     # the run's median environment-slowdown factor (see _violations /
     # env_scale) so a uniformly slow tenant window or driver env can't
     # fake ~50 simultaneous "regressions"
-    budgets = _load_budgets()
-    violations = _violations(queries, budgets)
-    scale = env_scale(queries, budgets)
+    gate = _load_gate()
+    budgets = gate["budgets"]
+    violations = _violations(queries, gate)
+    scale = env_scale(queries, gate)
     raw_violations = sorted(
         k for k, v in queries.items() if k in budgets and v > budgets[k]
+    )
+    # divergence guard for the normalization itself: env_scale is a
+    # median, so a regression in code SHARED by half the suite (e.g. the
+    # bloom family's position ladder) would raise the median and scale
+    # every budget up with it.  The pure-JVM control can't run sketchlib
+    # code, so its own ratio bounds how slow the BOX is — a query median
+    # far above it means the slowdown lives in this repo, not the env.
+    control_ratio = (
+        max(1.0, round(control_sec / gate["control_min"], 3))
+        if gate.get("control_min")
+        else None
+    )
+    env_unexplained = bool(
+        control_ratio is not None and scale > control_ratio * 1.25 + 0.15
     )
     result = {
         "metric": "suite_total_sec",
@@ -662,6 +711,9 @@ def main() -> None:
         "budget_violations": violations,
         "budget_env_scale": scale,
         "budget_raw_over": raw_violations,
+        "budget_control_sec": control_sec,
+        "budget_env_control_ratio": control_ratio,
+        "budget_env_unexplained": env_unexplained,
         **tr_stats,
         **probe_stats,
     }

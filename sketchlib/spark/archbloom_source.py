@@ -122,8 +122,10 @@ class _ArchbloomReader(DataSourceReader):
                 many = _json.loads(options["paths"])
             except ValueError:
                 many = [options["paths"]]
-            if isinstance(many, str):
-                many = [many]
+            if not isinstance(many, list):
+                # any non-array JSON value (string, number, bool, null)
+                # is a single literal path, not a list to iterate
+                many = [options["paths"]]
             paths.extend(str(p) for p in many)
         if not paths:
             raise ValueError("archbloom source needs a path (file, dir, or glob)")
@@ -209,7 +211,9 @@ class _ArchbloomWriter(DataSourceWriter):
             pair for m in messages if m is not None for pair in m.staged
         ]
         finals = [final for _tmp, final in staged]
-        dupes = {f for f in finals if finals.count(f) > 1}
+        from collections import Counter
+
+        dupes = {f for f, n in Counter(finals).items() if n > 1}
         if dupes:
             for tmp, _final in staged:
                 if os.path.exists(tmp):

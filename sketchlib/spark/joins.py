@@ -134,16 +134,23 @@ def _prune_via_broadcast_words(
         f"bloom_prune_words_{next(_PRUNE_SEQ)}",
         F.count(F.lit(1)).alias("rows_probed"),
     )
+    # reserved dunder names so a fact table that itself has `w`/`word`
+    # columns can't make the mask references ambiguous (same convention
+    # as the __p{i}/__h1 staging columns); the rename is ONE projection
+    # shared by all k joins, so the plans still canonicalize identically
+    wf = words.select(
+        F.col("w").alias("__bw_w"), F.col("word").alias("__bw_word")
+    )
     keep = None
     for i in range(spec.k):
         p = F.col(f"__p{i}")
         # the SAME words plan each time (only a SubqueryAlias differs,
         # which canonicalization strips) — the k BroadcastExchanges
         # collapse into one broadcast + (k-1) ReusedExchange
-        w_i = words.alias(f"__bw{i}")
+        w_i = wf.alias(f"__bw{i}")
         staged = staged.join(
             F.broadcast(w_i),
-            F.shiftrightunsigned(p, 6) == F.col(f"__bw{i}.w"),
+            F.shiftrightunsigned(p, 6) == F.col(f"__bw{i}.__bw_w"),
             "left",
         )
         mask = F.call_function(
@@ -151,7 +158,8 @@ def _prune_via_broadcast_words(
             p.bitwiseAND(F.lit(63)).cast("int"),
         )
         cond = (
-            F.coalesce(F.col(f"__bw{i}.word"), F.lit(0)).bitwiseAND(mask) != 0
+            F.coalesce(F.col(f"__bw{i}.__bw_word"), F.lit(0)).bitwiseAND(mask)
+            != 0
         )
         keep = cond if keep is None else (keep & cond)
     return staged.filter(keep).select(*df.columns)

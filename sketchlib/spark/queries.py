@@ -174,7 +174,10 @@ def q_bloom_sql_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact semi-join (no false negatives; expected FP ≈ n·p ≪ 1).
     Byte-identity of the SQL-built bitmap vs the prehash kernel build is
     property-tested in tests/test_bloom_sql.py — the gate carries only
-    the build+probe dataflow (the r4 double-build cost 2x the query)."""
+    the build+probe dataflow (the r4 double-build cost 2x the query).
+    Remaining wall at sf0.1 is plan analysis + codegen compile of the
+    two k=20 position ladders (measured linear in k, invariant to input
+    rows) — a per-query constant that amortizes to zero at scale."""
     from sketchlib.spark.bloom_sql import bloom_sql_members, bloom_word_rows
 
     events = _read(spark, sf_dir, "events")
@@ -628,6 +631,7 @@ def q_tdcbloom_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.bool_and(F.col("sql_cnt") == F.col("kc")).alias("ok"))
         .first()["ok"]
     )
+    cells.unpersist()  # both consumers (sql_cnt, kern_ph) are materialized
     return exact.select(
         "user_id",
         "recent_cnt",

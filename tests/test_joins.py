@@ -122,6 +122,25 @@ def test_large_bitmap_fallback_column_key(spark, tables, monkeypatch):
     fb = joins.bloom_prune(events, key_expr, spec, build_from=dim_up).count()
     assert fb == lit
 
+
+def test_large_bitmap_fallback_w_word_columns(spark, tables, monkeypatch):
+    """A fact table whose OWN columns are named ``w``/``word`` (the word
+    frame's names) must prune identically through the fallback — the
+    broadcast frame's columns are renamed to reserved dunder names, so
+    the k mask references can never become ambiguous."""
+    from sketchlib.spark import joins
+
+    events, dim = tables
+    clash = events.select(
+        "user_id", F.lit(7).alias("w"), F.lit("x").alias("word")
+    )
+    spec = BloomSpec(10_000, 0.001)
+    lit_rows = joins.bloom_prune(clash, "user_id", spec, build_from=dim).count()
+    monkeypatch.setattr(joins, "LITERAL_BITMAP_MAX_BYTES", 1)
+    fb = joins.bloom_prune(clash, "user_id", spec, build_from=dim)
+    assert fb.columns == ["user_id", "w", "word"]
+    assert fb.count() == lit_rows
+
 def test_probe_stays_compiled_no_janino_overflow():
     """Regression: a filter/join-key conjunction of k full position trees
     blows janino's 64 KB method limit at k>=4, and Spark then silently
