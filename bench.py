@@ -565,7 +565,9 @@ def bench_probe_join(spark) -> dict:
 
     def run():
         states = build_sharded_states(tr, "conv_id", spec, n_shards=128)
-        probed = probe_sharded(states, probes, "conv_id", spec=spec)
+        probed = probe_sharded(
+            states, probes, "conv_id", spec=spec, n_shards=128
+        )
         n_hit = probed.filter("hit").count()
         return audit(probed), n_hit
 
@@ -577,7 +579,7 @@ def bench_probe_join(spark) -> dict:
         states = build_sharded_states(tr, "conv_id", cspec, n_shards=128)
         probed = probe_sharded(
             states, probes, "conv_id", op="count",
-            result_col="cnt", spec=cspec,
+            result_col="cnt", spec=cspec, n_shards=128,
         )
         total = probed.agg(F.sum("cnt")).first()[0]
         return audit(probed), int(total or 0)

@@ -29,6 +29,7 @@ broadcast path and tested equal against it.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -42,8 +43,15 @@ from sketchlib.kernels import KERNEL_BY_KIND
 from sketchlib.spark.agg import _new_kernel, _pack_state, _ts_seconds, _unpack_state
 from sketchlib.specs import BaseSpec
 
-_STATE_CACHE: dict[str, object] = {}
-_STATE_CACHE_MAX = 64
+#: per-worker kernel cache keyed by (spec_json, blob sha256) — spec_json is
+#: part of the key because spec-side knobs (timeout, start_time, k) change
+#: probe results without changing the serialized state bytes.  The cap is
+#: BYTE-based: shard states at the module's target sizes are ~100s of MB,
+#: so an entry-count cap would hoard multi-GB in one long-lived worker.
+_STATE_CACHE: dict[tuple[str, str], tuple[object, int]] = {}
+_STATE_CACHE_MAX_BYTES = int(
+    os.environ.get("SKETCHLIB_PROBE_CACHE_BYTES", 256 << 20)
+)
 
 # kernel kinds whose update()/probe take an event-time argument
 _TIMED_KINDS = ("tdbloom", "tdcbloom")
@@ -103,6 +111,12 @@ def build_sharded_states(
     proj = df.select(*cols).filter(
         F.col("__h1" if prehash else "__key").isNotNull()
     )
+    if timed:
+        # a null event time cannot be stamped; dropping matches the cell
+        # builders (suite_sql._job_cells, bloom_sql.tdbloom_cell_rows) —
+        # without this, one null ts NaN-poisons _ts_seconds and fails the
+        # whole shard build with a misleading start_time error
+        proj = proj.filter(F.col("__ts").isNotNull())
     spec_json = spec.to_json()
     shards = int(n_shards)
 
@@ -154,16 +168,21 @@ def load_states(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("shard", "n_shards", "state")
 
 
+def _deserialize(spec_json: str, blob: bytes):
+    spec = BaseSpec.from_json(spec_json)
+    return KERNEL_BY_KIND[spec.kind].deserialize(spec, _unpack_state(blob))
+
+
 def _resolve_state(spec_json: str, blob: bytes):
-    digest = hashlib.sha256(blob).hexdigest()
-    k = _STATE_CACHE.get(digest)
-    if k is None:
-        if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+    key = (spec_json, hashlib.sha256(blob).hexdigest())
+    hit = _STATE_CACHE.get(key)
+    if hit is None:
+        used = sum(nb for _, nb in _STATE_CACHE.values())
+        if used + len(blob) > _STATE_CACHE_MAX_BYTES:
             _STATE_CACHE.clear()
-        spec = BaseSpec.from_json(spec_json)
-        k = KERNEL_BY_KIND[spec.kind].deserialize(spec, _unpack_state(blob))
-        _STATE_CACHE[digest] = k
-    return k
+        hit = (_deserialize(spec_json, blob), len(blob))
+        _STATE_CACHE[key] = hit
+    return hit[0]
 
 
 def probe_sharded(
@@ -175,6 +194,7 @@ def probe_sharded(
     result_col: str = "hit",
     spec: BaseSpec | None = None,
     prehash: bool = False,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Routed probe: every row of ``df`` gains ``result_col`` (boolean for
     ``op='contains'``, long for ``op='count'``) evaluated against ITS shard's
@@ -185,6 +205,16 @@ def probe_sharded(
     ``spec`` is only needed when ``states`` was loaded from parquet and the
     caller didn't keep the build-time spec; otherwise pass the same spec used
     to build.  Null keys probe False/0.
+
+    ``n_shards``: pass the build's shard count to skip the ``first()`` that
+    otherwise reads it from ``states`` — on an UNPERSISTED
+    ``build_sharded_states`` result that read executes the whole
+    scan+shuffle+build once just for the count (and the cogroup then runs
+    it again); either pass it or ``persist()`` the state frame.
+
+    Should a shard group carry several state rows (e.g. a union of two
+    saved state tables, or duplicate part files), they are merged with the
+    kernel's associative ``merge`` before probing.
     """
     if spec is None:
         raise ValueError("pass the build spec (states rows carry no spec)")
@@ -197,10 +227,12 @@ def probe_sharded(
     if timed and as_of is None:
         raise ValueError("time-decaying probes need as_of")
 
-    head = states.select("n_shards").first()
-    if head is None:
-        raise ValueError("empty state table")
-    n_shards = int(head[0])
+    if n_shards is None:
+        head = states.select("n_shards").first()
+        if head is None:
+            raise ValueError("empty state table")
+        n_shards = int(head[0])
+    n_shards = int(n_shards)
 
     kcol = (F.col(key) if isinstance(key, str) else key).cast("string")
     if prehash:
@@ -247,7 +279,24 @@ def probe_sharded(
             out = np.zeros(n, dtype=np.int64)
             res_pa = pa.int64()
         if n and r.num_rows:
-            kernel = _resolve_state(spec_json, r.column("state")[0].as_py())
+            if r.num_rows == 1:
+                kernel = _resolve_state(spec_json, r.column("state")[0].as_py())
+            else:
+                # several state rows for one shard (unioned state tables,
+                # duplicate part files): fold them with the associative
+                # merge rather than silently probing only the first.
+                # Fresh deserializations — merge mutates in place, and
+                # cached kernels must stay their single-blob states.
+                if not hasattr(KERNEL_BY_KIND[kind], "merge"):
+                    raise ValueError(
+                        f"shard has {r.num_rows} state rows but kind "
+                        f"{kind} has no merge"
+                    )
+                kernel = _deserialize(spec_json, r.column("state")[0].as_py())
+                for j in range(1, r.num_rows):
+                    kernel.merge(
+                        _deserialize(spec_json, r.column("state")[j].as_py())
+                    )
             if prehash:
                 a1 = l.column("__h1")
                 if isinstance(a1, pa.ChunkedArray):

@@ -245,7 +245,8 @@ def q_bloom_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = BloomSpec(100_000, 1e-9)  # per-shard geometry
     states = build_sharded_states(members, "user_id", spec, n_shards=8)
     probed = probe_sharded(
-        states, events.select("user_id").distinct(), "user_id", spec=spec
+        states, events.select("user_id").distinct(), "user_id", spec=spec,
+        n_shards=8,
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     routed = ("FlatMapCoGroupsInArrow" in plan) and ("BroadcastExchange" not in plan)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 import zlib
 from dataclasses import dataclass
 
@@ -76,7 +77,14 @@ class SketchStore:
                 "metrics_json": [json.dumps(metrics or {}, sort_keys=True)],
             }
         )
-        pq.write_table(tbl, os.path.join(self.merged_dir, f"{name}.parquet"))
+        # atomic publish: write to a temp name, then rename — a crash
+        # mid-write must never leave a truncated parquet at the final path
+        # (streaming.sketch_sink's replay recovery depends on load_kernel
+        # seeing either the old state or the new one, nothing in between)
+        final = os.path.join(self.merged_dir, f"{name}.parquet")
+        tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
 
     def load_kernel(self, name: str):
         tbl = pq.read_table(os.path.join(self.merged_dir, f"{name}.parquet"))

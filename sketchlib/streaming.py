@@ -52,8 +52,12 @@ def sketch_sink(store: SketchStore, jobs: list[SketchJob], query_name: str):
     unique per (stream, checkpoint) — restarting with a FRESH checkpoint
     restarts epoch ids at 0, so reusing the old query_name against already-
     advanced kernels would silently skip the new stream's early batches.
-    The guard key embeds query_name so distinct streams maintaining the same
-    kernel names cannot collide either."""
+    The guard key embeds query_name so a REPLAY of one stream can never
+    double-fold another stream's progress — but the load→merge→save cycle
+    itself takes no lock, so two streams that maintain the same kernel name
+    must not run CONCURRENTLY (last save wins and the loser's fold is
+    lost); give concurrent streams distinct kernel names and merge their
+    outputs instead (the algebra is associative)."""
     epoch_file = os.path.join(store.root, f"{query_name}.epoch")
     guard_key = f"last_epoch::{query_name}"
 
@@ -237,7 +241,7 @@ def conversation_state(stream: DataFrame, timeout_ms: int = 60_000) -> DataFrame
     poll the sink and ``stop()`` (as production jobs do)."""
     prepared = stream.select(
         "conv_id", F.unix_timestamp(F.col("ts").cast("timestamp_ltz")).alias("ts_sec")
-    )
+    ).filter(F.col("ts_sec").isNotNull())  # no event time → cannot sequence
     return prepared.groupBy("conv_id").applyInPandasWithState(
         _make_conversation_fn(timeout_ms),
         _CONV_OUT_SCHEMA,
@@ -258,6 +262,7 @@ def _make_dedup_fn(spec_json: str, out_cols: list[str], reset_pct: float | None)
 
     def _dedup_fn(key, pdfs, state: GroupState):
         import numpy as np
+        import pandas as _pd
         import pyarrow as pa
 
         from sketchlib import mmh3
@@ -287,6 +292,27 @@ def _make_dedup_fn(spec_json: str, out_cols: list[str], reset_pct: float | None)
                         "event-time column (null ts cannot be stamped)"
                     )
                 ts = pdf["__ts_sec"].to_numpy().astype(np.int64)
+                # misconfiguration guard: the kernel reproduces the C age
+                # guard (as_of - start_time > max_time → everything reads
+                # absent, src/tdbloom.c:342).  For a RUNNING filter that is
+                # the documented expiry → re-admit semantics (tested); but
+                # a shard whose very FIRST event is already past the
+                # horizon can never suppress anything — the classic cause
+                # is the default start_time=0 against real unix timestamps
+                # (horizon = max_time seconds after epoch 1970), a silent
+                # total no-op.  Fail loudly on that instead.
+                horizon = int(spec.start_time) + int(spec.max_time)
+                if not state.exists and int(ts.min()) > horizon:
+                    raise ValueError(
+                        f"streaming_dedup: first event time {int(ts.min())} "
+                        f"is already past the tdbloom timer horizon "
+                        f"{horizon} (start_time={spec.start_time} + "
+                        f"max_time={spec.max_time}) — the filter would never "
+                        "suppress anything; set spec.start_time near the "
+                        "stream's epoch and/or a larger timeout (its timer "
+                        "width bounds filter life)"
+                    )
+                key_arr = keys.to_numpy()
                 seen = np.empty(len(pdf), dtype=bool)
                 order = np.argsort(ts, kind="stable")
                 bounds = np.flatnonzero(
@@ -301,9 +327,16 @@ def _make_dedup_fn(spec_json: str, out_cols: list[str], reset_pct: float | None)
                     sub = np.concatenate(
                         [data[offsets[j]: offsets[j + 1]] for j in idx]
                     ) if len(idx) else np.empty(0, dtype=np.uint8)
-                    seen[idx] = kernel.lookup_or_add(
+                    was_fresh = kernel.lookup_or_add(
                         sub, sub_off, as_of=int(ts[idx[0]])
                     )
+                    # tdbloom's lookup_or_add probes the whole group
+                    # against PRE-call state (kernels/tdbloom.py:159-162),
+                    # so a key repeated within one second-group would read
+                    # not-present twice; suppress later same-group repeats
+                    # explicitly for exact test-and-set semantics
+                    dup_in_group = _pd.Series(key_arr[idx]).duplicated().to_numpy()
+                    seen[idx] = was_fresh | dup_in_group
             else:
                 seen = kernel.lookup_or_add(data, offsets)
             fresh = pdf.loc[~seen, out_cols]

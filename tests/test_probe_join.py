@@ -195,3 +195,34 @@ def test_null_keys_probe_false(spark, docs):
 def test_should_broadcast_threshold():
     assert should_broadcast(1 << 20)
     assert not should_broadcast(1 << 31)
+
+
+def test_unioned_state_tables_merge_per_shard(spark, docs):
+    """Two state tables built over halves of the member set, UNIONed into
+    one frame: each shard group then carries two state rows, which the
+    probe must fold with the associative merge — identical results to one
+    build over the full member set (round-5 review: the old code silently
+    probed only the first row)."""
+    members = docs.filter(F.col("id") % 3 == 0)
+    half_a = members.filter(F.col("id") % 2 == 0)
+    half_b = members.filter(F.col("id") % 2 == 1)
+    spec = BloomSpec(4000, 0.001)
+    full = build_sharded_states(members, "id", spec, n_shards=4)
+    unioned = build_sharded_states(half_a, "id", spec, n_shards=4).unionByName(
+        build_sharded_states(half_b, "id", spec, n_shards=4)
+    )
+    probes = docs.select("id")
+    got_full = {
+        r["id"]: r["hit"]
+        for r in probe_sharded(full, probes, "id", spec=spec, n_shards=4).collect()
+    }
+    got_union = {
+        r["id"]: r["hit"]
+        for r in probe_sharded(
+            unioned, probes, "id", spec=spec, n_shards=4
+        ).collect()
+    }
+    assert got_union == got_full
+    # and no false negatives against the true member set either way
+    member_ids = {r["id"] for r in members.collect()}
+    assert all(got_union[m] for m in member_ids)

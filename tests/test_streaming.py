@@ -421,3 +421,69 @@ def test_stream_cells_equals_batch_suite(spark, tr_dir, tmp_path):
         streaming.read_stream_cells(spark, root), jobs
     )
     assert streamed2["bloom_conv"][0].serialize() == batch["bloom_conv"][0].serialize()
+
+
+def test_streaming_dedup_tdbloom_same_second_duplicates(spark, tmp_path):
+    """A key repeated WITHIN one micro-batch at the same event-time second
+    must be emitted once: tdbloom's lookup_or_add probes the whole group
+    against pre-call state, so the operator resolves within-group repeats
+    itself (round-5 review finding)."""
+    from sketchlib.specs import TdBloomSpec
+
+    src = tmp_path / "samesec"
+    src.mkdir()
+    # one batch: key 'dup' three times in the same second, 'solo' once
+    _write_doc_file(
+        src / "f1.parquet", range(4), ["dup", "dup", "solo", "dup"], ts_base=0
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    spec = TdBloomSpec(10_000, 1e-6, timeout=100, start_time=1767225600)
+    out = streaming.streaming_dedup(stream, "text", spec, n_shards=2, ts_col="ts")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("td_samesec")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT text FROM td_samesec").collect()
+    assert sorted(r["text"] for r in rows) == ["dup", "solo"]
+
+
+def test_streaming_dedup_tdbloom_horizon_misconfig_raises(spark, tmp_path):
+    """A tdbloom spec whose timer horizon is already in the past on the
+    FIRST batch (the default start_time=0 against real unix timestamps)
+    can never suppress anything — the operator must fail loudly instead
+    of silently emitting every duplicate forever."""
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sketchlib.specs import TdBloomSpec
+
+    src = tmp_path / "horizon"
+    src.mkdir()
+    _write_doc_file(src / "f1.parquet", range(3), ["a", "a", "b"], ts_base=0)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    spec = TdBloomSpec(10_000, 1e-6, timeout=3600)  # start_time defaults to 0
+    out = streaming.streaming_dedup(stream, "text", spec, n_shards=2, ts_col="ts")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("td_horizon")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hz"))
+        .start()
+    )
+    with _pytest.raises(StreamingQueryException, match="timer horizon"):
+        q.processAllAvailable()
+    q.stop()
