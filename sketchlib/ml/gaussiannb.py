@@ -147,6 +147,53 @@ def fit_gaussian_nb(
     )
 
 
+def fit_gaussian_nb_split(
+    df: DataFrame, label_col: str, feature_cols: list[str], split_col
+) -> dict:
+    """Fit one model per value of ``split_col`` in a SINGLE aggregation pass
+    (groupBy(split, label) instead of one filtered fit per split) — the
+    carrier for parallel-merge verification: ``merge_models`` over the
+    returned models must equal the one-pass fit.  Identical stats to
+    ``fit_gaussian_nb(df.filter(split == v), ...)`` per split value (the
+    per-(split,label) count/avg/var_pop are the same aggregates over the
+    same rows)."""
+    split = F.col(split_col) if isinstance(split_col, str) else split_col
+    aggs = [F.count("*").alias("__n")]
+    for i, c in enumerate(feature_cols):
+        aggs.append(F.avg(c).alias(f"__m{i}"))
+        aggs.append(F.var_pop(c).alias(f"__v{i}"))
+    cond = None
+    for c in feature_cols:
+        nn = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+        cond = nn if cond is None else (cond & nn)
+    rows = (
+        df.filter(cond)
+        .groupBy(split.alias("__split"), F.col(label_col).alias("__label"))
+        .agg(*aggs)
+        .orderBy("__split", "__label")
+        .collect()
+    )
+    out: dict = {}
+    by_split: dict = {}
+    for r in rows:
+        by_split.setdefault(r["__split"], []).append(r)
+    for sv, srows in by_split.items():
+        labels = [r["__label"] for r in srows]
+        count = np.array([r["__n"] for r in srows], dtype=np.float64)
+        mean = np.array(
+            [[r[f"__m{i}"] for i in range(len(feature_cols))] for r in srows]
+        )
+        var = (
+            np.array([[r[f"__v{i}"] for i in range(len(feature_cols))] for r in srows])
+            + GNB_ALPHA
+        )
+        out[sv] = GaussianNBModel(
+            labels=labels, count=count, mean=mean, var=var,
+            n_samples=int(count.sum()),
+        )
+    return out
+
+
 def merge_models(a: GaussianNBModel, b: GaussianNBModel) -> GaussianNBModel:
     """Chan parallel mean/variance merge — the distributed generalization of
     the reference's single-sample online update (src/gaussiannb.c:167-187)."""

@@ -100,9 +100,13 @@ def km_position_cols(key, k: int, m: int) -> list[Column]:
     NOTE: each returned Column embeds the full hash tree — fine for a few
     positions in one projection, but k of them in a single generator
     expression overflows janino's method-size limit (observed at k=7 on
-    the events table).  The builders below stage through
-    :func:`_staged_positions` instead, which aliases h1/h2 and each
-    position so codegen computes them once."""
+    the events table).  The builders/probes below use the explode-first
+    shape (:func:`_lane_positions`) instead — one O(1)-sized variable-rung
+    expression after exploding the rung indices; :func:`_staged_positions`
+    (k aliased position columns) remains for consumers that need all k
+    positions side by side on data-sized rows (spark/joins.py's scan-level
+    literal probe, where an aggregation-based all-bits check would add a
+    shuffle to the 100-TB fact scan)."""
     h1, h2 = prehash_pair(key)
     return [_pos_expr(h1, h2, i, m) for i in range(k)]
 
@@ -111,6 +115,65 @@ def _pos_expr(h1: Column, h2: Column, i: int, m: int) -> Column:
     g = h1 if i == 0 else _wrap_add(h1, _wrap_mul_const(h2, i))
     g = F.when(g == -1, F.lit(0)).otherwise(g)
     return _umod(g, m)
+
+
+def _wrap_mul_col(h: Column, c: Column) -> Column:
+    """``(c * h) mod 2^64`` for a small non-negative bigint COLUMN (caller
+    guarantees values < 2^26 — the ladder rung index, bounded by k)."""
+    lo = h.bitwiseAND(F.lit(_M32)) * c
+    hi = F.shiftrightunsigned(h, 32) * c + F.shiftrightunsigned(lo, 32)
+    return F.shiftleft(hi, 32).bitwiseOR(lo.bitwiseAND(F.lit(_M32)))
+
+
+def _pos_expr_i(h1: Column, h2: Column, i: Column, m: int) -> Column:
+    """:func:`_pos_expr` with the rung index as a COLUMN.  For i=0 the
+    wrap-mul folds to 0 and the wrap-add to h1, so the result is identical
+    to the constant-rung form for every i (byte-identity property-tested)."""
+    g = _wrap_add(h1, _wrap_mul_col(h2, i))
+    g = F.when(g == -1, F.lit(0)).otherwise(g)
+    return _umod(g, m)
+
+
+def _lane_positions(
+    lanes: DataFrame, k: int, m: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Hash-pair lanes ``(__h1, __h2 [+ carry])`` → ``(pos, __i [+ carry])``,
+    k rows per lane — the EXPLODE-FIRST ladder: explode the k rung indices
+    (a constant array literal), then evaluate ONE variable-rung position
+    expression.  Exactly the same k position computations per input row as
+    the k-aliased-columns shape, still plain bitwise arithmetic inside
+    whole-stage codegen (no higher-order functions, no Python) — but the
+    expression TREE is O(1) in k instead of O(k), so driver-side analysis,
+    optimization and codegen no longer scale with the ladder height
+    (measured ~2.5 s of per-query driver time for two k=20 ladders in the
+    old shape at sf0.1, independent of input size)."""
+    exploded = lanes.select(
+        F.col("__h1"),
+        F.col("__h2"),
+        *[F.col(c) for c in carry],
+        F.explode(F.lit(list(range(k))).cast("array<bigint>")).alias("__i"),
+    )
+    return exploded.select(
+        _pos_expr_i(F.col("__h1"), F.col("__h2"), F.col("__i"), m).alias("pos"),
+        F.col("__i"),
+        *[F.col(c) for c in carry],
+    )
+
+
+def _probe_lanes(df: DataFrame, key) -> DataFrame:
+    """Distinct non-null probe keys with their hash lanes:
+    ``(__orig, __h1, __h2)`` — the shared probe-side head of the
+    declarative membership/count probes."""
+    orig = F.col(key) if isinstance(key, str) else key
+    probes = (
+        df.select(orig.alias("__orig"))
+        .filter(F.col("__orig").isNotNull())
+        .distinct()
+    )
+    h1, h2 = prehash_pair(F.col("__orig"))
+    return probes.select(
+        F.col("__orig"), h1.alias("__h1"), h2.alias("__h2")
+    )
 
 
 def _staged_positions(
@@ -139,24 +202,6 @@ def _staged_positions(
     )
 
 
-def _word_mask_entries(k: int) -> Column:
-    """array<struct<w,mask>> over staged position columns ``__p0..``."""
-    entries = []
-    for i in range(k):
-        p = F.col(f"__p{i}")
-        entries.append(
-            F.struct(
-                F.shiftrightunsigned(p, 6).alias("w"),
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("bigint"),
-                    p.bitwiseAND(F.lit(63)).cast("int"),
-                ).alias("mask"),
-            )
-        )
-    return F.array(*entries)
-
-
 # ---------------------------------------------------------------------------
 # bloom
 # ---------------------------------------------------------------------------
@@ -180,26 +225,14 @@ def bloom_word_rows(
     bits are idempotent — presence is the per-key sufficient statistic),
     so the explode runs over #distinct-keys rows instead of #rows.
     Opt-in: for near-unique keys the dedupe map would be data-sized."""
+    h1, h2 = prehash_pair(key)
+    lanes = (
+        df.select(h1.alias("__h1"), h2.alias("__h2"))
+        .filter(F.col("__h1").isNotNull())
+    )
     if prereduce:
-        h1, h2 = prehash_pair(key)
-        lanes = (
-            df.select(h1.alias("__h1"), h2.alias("__h2"))
-            .filter(F.col("__h1").isNotNull())
-            .distinct()
-        )
-        staged = lanes.select(
-            *[
-                _pos_expr(F.col("__h1"), F.col("__h2"), i, spec.m).alias(f"__p{i}")
-                for i in range(spec.k)
-            ]
-        )
-    else:
-        staged = _staged_positions(df, key, spec.k, spec.m)
-    pos = staged.select(
-        F.explode(
-            F.array(*[F.col(f"__p{i}") for i in range(spec.k)])
-        ).alias("pos")
-    ).filter(F.col("pos").isNotNull())
+        lanes = lanes.distinct()
+    pos = _lane_positions(lanes, spec.k, spec.m)
     return (
         pos.select(
             F.shiftrightunsigned("pos", 6).alias("w"),
@@ -250,18 +283,16 @@ def bloom_sql_members(
     caller's ORIGINAL type (the hash lane string-casts internally, but the
     returned values are the uncast originals, so joining the result back
     against the source column needs no coercion)."""
-    orig = F.col(key) if isinstance(key, str) else key
-    probes = (
-        df.select(orig.alias("__orig"))
-        .filter(F.col("__orig").isNotNull())
-        .distinct()
+    pos = _lane_positions(_probe_lanes(df, key), spec.k, spec.m, carry=("__orig",))
+    probed = pos.select(
+        "__orig",
+        F.shiftrightunsigned("pos", 6).alias("w"),
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("bigint"),
+            F.col("pos").bitwiseAND(F.lit(63)).cast("int"),
+        ).alias("mask"),
     )
-    staged = _staged_positions(
-        probes, F.col("__orig"), spec.k, spec.m, extra={"__orig": F.col("__orig")}
-    )
-    probed = staged.select(
-        "__orig", F.explode(_word_mask_entries(spec.k)).alias("e")
-    ).select("__orig", "e.w", "e.mask")
     hit = F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask")
     return (
         probed.join(F.broadcast(words), "w", "left")
@@ -287,34 +318,16 @@ def cbloom_cell_rows(
     +1 adds compose as ``least(sum, cap)`` through the key level), so the
     explode runs over #distinct-keys rows instead of #rows.  Opt-in: wrong
     choice for near-unique keys."""
-    if prereduce:
-        h1, h2 = prehash_pair(key)
-        lanes = (
-            df.select(h1.alias("__h1"), h2.alias("__h2"))
-            .filter(F.col("__h1").isNotNull())
-            .groupBy("__h1", "__h2")
-            .agg(F.count(F.lit(1)).alias("__w"))
-        )
-    else:
-        h1, h2 = prehash_pair(key)
-        lanes = df.select(h1.alias("__h1"), h2.alias("__h2")).withColumn(
-            "__w", F.lit(1).cast("bigint")
-        )
-    staged = lanes.select(
-        *[
-            _pos_expr(F.col("__h1"), F.col("__h2"), i, spec.m).alias(f"__p{i}")
-            for i in range(spec.k)
-        ],
-        F.col("__w"),
+    h1, h2 = prehash_pair(key)
+    lanes = df.select(h1.alias("__h1"), h2.alias("__h2")).filter(
+        F.col("__h1").isNotNull()
     )
+    if prereduce:
+        lanes = lanes.groupBy("__h1", "__h2").agg(F.count(F.lit(1)).alias("__w"))
+    else:
+        lanes = lanes.withColumn("__w", F.lit(1).cast("bigint"))
     return (
-        staged.select(
-            F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias(
-                "pos"
-            ),
-            F.col("__w"),
-        )
-        .filter(F.col("pos").isNotNull())
+        _lane_positions(lanes, spec.k, spec.m, carry=("__w",))
         .groupBy("pos")
         .agg(F.least(F.sum("__w"), F.lit(spec.cap)).alias("cnt"))
     )
@@ -348,17 +361,9 @@ def cbloom_sql_counts(
     semantics: never undercounts) — broadcast-join the probe keys' cells
     against the counter frame; absent cells count 0.  The returned key
     column keeps the caller's original (uncast) values."""
-    orig = F.col(key) if isinstance(key, str) else key
-    probes = (
-        df.select(orig.alias("__orig")).filter(F.col("__orig").isNotNull()).distinct()
-    )
-    staged = _staged_positions(
-        probes, F.col("__orig"), spec.k, spec.m, extra={"__orig": F.col("__orig")}
-    )
-    probed = staged.select(
-        "__orig",
-        F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos"),
-    )
+    probed = _lane_positions(
+        _probe_lanes(df, key), spec.k, spec.m, carry=("__orig",)
+    ).select("__orig", "pos")
     return (
         probed.join(F.broadcast(cells), "pos", "left")
         .withColumn("c", F.coalesce(F.col("cnt"), F.lit(0)))
@@ -399,21 +404,10 @@ def tdbloom_cell_rows(
     )
     if prereduce:
         lanes = lanes.groupBy("__h1", "__h2").agg(F.max("__t").alias("__t"))
-    staged = lanes.select(
-        *[
-            _pos_expr(F.col("__h1"), F.col("__h2"), i, spec.m).alias(f"__p{i}")
-            for i in range(spec.k)
-        ],
-        F.col("__t"),
-    )
     return (
-        staged.select(
-            F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos"),
-            F.col("__t").alias("tick"),
-        )
-        .filter(F.col("pos").isNotNull())
+        _lane_positions(lanes, spec.k, spec.m, carry=("__t",))
         .groupBy("pos")
-        .agg(F.max("tick").alias("tick"))
+        .agg(F.max("__t").alias("tick"))
     )
 
 
@@ -454,21 +448,19 @@ def tdbloom_sql_members(
     caller's original key values."""
     T = int(as_of) - spec.start_time
     orig = F.col(key) if isinstance(key, str) else key
-    probes = (
-        df.select(orig.alias("__orig")).filter(F.col("__orig").isNotNull()).distinct()
-    )
     if T > spec.max_time:
+        probes = (
+            df.select(orig.alias("__orig"))
+            .filter(F.col("__orig").isNotNull())
+            .distinct()
+        )
         return probes.select(
             F.col("__orig").alias(key if isinstance(key, str) else "key"),
             F.lit(False).alias(result_col),
         )
-    staged = _staged_positions(
-        probes, F.col("__orig"), spec.k, spec.m, extra={"__orig": F.col("__orig")}
-    )
-    probed = staged.select(
-        "__orig",
-        F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos"),
-    )
+    probed = _lane_positions(
+        _probe_lanes(df, key), spec.k, spec.m, carry=("__orig",)
+    ).select("__orig", "pos")
     tick = F.coalesce(F.col("tick"), F.lit(0))
     age = F.lit(T) - (tick - F.lit(1))
     live = (tick > 0) & (age >= 0) & (age <= F.lit(spec.timeout))
@@ -511,27 +503,23 @@ def tdcbloom_cell_rows(
         )
     else:
         lanes = lanes.withColumn("__w", F.lit(1).cast("bigint"))
-    staged = lanes.select(
-        *[
-            _pos_expr(F.col("__h1"), F.col("__h2"), i, spec.m).alias(f"__p{i}")
-            for i in range(spec.k)
-        ],
-        F.col("__t"),
-        F.col("__w"),
-    )
+    return tdcbloom_cells_from_lanes(lanes, spec)
+
+
+def tdcbloom_cells_from_lanes(lanes: DataFrame, spec) -> DataFrame:
+    """Cell frame from pre-computed lanes ``(__h1, __h2, __t, __w)`` —
+    for callers that already hold a per-key sufficient-statistic frame
+    (add count, max tick per hash pair; e.g. a groupBy(key) carrier the
+    query needs anyway), so the cell build costs no extra pass over the
+    data.  Identical cells to :func:`tdcbloom_cell_rows`: per-pos weights
+    sum and ticks max across lanes, so duplicate hash pairs (including
+    colliding keys) fold exactly as the kernel folds them."""
     return (
-        staged.select(
-            F.explode(
-                F.array(*[F.col(f"__p{i}") for i in range(spec.k)])
-            ).alias("pos"),
-            F.col("__t").alias("t"),
-            F.col("__w"),
-        )
-        .filter(F.col("pos").isNotNull())
+        _lane_positions(lanes, spec.k, spec.m, carry=("__t", "__w"))
         .groupBy("pos")
         .agg(
             F.least(F.sum("__w"), F.lit(spec.cap)).alias("cnt"),
-            F.max("t").alias("tick"),
+            F.max("__t").alias("tick"),
         )
     )
 
@@ -554,17 +542,9 @@ def tdcbloom_sql_counts(
     Python; missing cells read (cnt=0, tick=0) = never stamped.  Returns
     the caller's original (uncast) key values."""
     T = int(as_of) - spec.start_time
-    orig = F.col(key) if isinstance(key, str) else key
-    probes = (
-        df.select(orig.alias("__orig")).filter(F.col("__orig").isNotNull()).distinct()
-    )
-    staged = _staged_positions(
-        probes, F.col("__orig"), spec.k, spec.m, extra={"__orig": F.col("__orig")}
-    )
-    probed = staged.select(
-        "__orig",
-        F.explode(F.array(*[F.col(f"__p{i}") for i in range(spec.k)])).alias("pos"),
-    )
+    probed = _lane_positions(
+        _probe_lanes(df, key), spec.k, spec.m, carry=("__orig",)
+    ).select("__orig", "pos")
     cnt = F.coalesce(F.col("cnt"), F.lit(0))
     tick = F.coalesce(F.col("tick"), F.lit(0))
     age = F.lit(T) - (tick - F.lit(1))

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from sketchlib.kernels import CountMinSketch, HyperLogLog
 from sketchlib.spark.agg import SketchJob
 from sketchlib.spark.bloom_sql import (
-    _pos_expr,
+    _lane_positions,
     _tick_col,
     _words_to_bits,
     build_bloom_sql,
@@ -77,20 +77,12 @@ def cms_km_cell_rows(df: DataFrame, spec: CmsSpec, key) -> DataFrame:
     independent-per-row xxhash64 family (mergeable only with itself) use
     ``spark/cms_sql.py``."""
     h1, h2 = prehash_pair(key)
-    staged = df.select(h1.alias("__h1"), h2.alias("__h2"))
-    pos = staged.select(
-        *[
-            _pos_expr(F.col("__h1"), F.col("__h2"), i, spec.width).alias(f"__p{i}")
-            for i in range(spec.depth)
-        ]
+    lanes = df.select(h1.alias("__h1"), h2.alias("__h2")).filter(
+        F.col("__h1").isNotNull()
     )
     return (
-        pos.select(
-            F.posexplode(
-                F.array(*[F.col(f"__p{i}") for i in range(spec.depth)])
-            ).alias("i", "pos")
-        )
-        .filter(F.col("pos").isNotNull())
+        _lane_positions(lanes, spec.depth, spec.width)
+        .select(F.col("__i").cast("int").alias("i"), "pos")
         .groupBy("i", "pos")
         .count()
         .withColumnRenamed("count", "cnt")
@@ -200,18 +192,10 @@ def _job_cells(df: DataFrame, j: int, job: SketchJob) -> DataFrame:
     else:
         lanes = lanes.withColumn("__w", F.lit(1).cast("bigint"))
 
-    carry = ["__w"] + (["__tick"] if timed else [])
-    staged = lanes.select(
-        *[
-            _pos_expr(F.col("__h1"), F.col("__h2"), i, m).alias(f"__p{i}")
-            for i in range(k)
-        ],
-        *[F.col(n) for n in carry],
-    )
-    arr = F.array(*[F.col(f"__p{i}") for i in range(k)])
+    carry = tuple(["__w"] + (["__tick"] if timed else []))
+    pos = _lane_positions(lanes, k, m, carry=carry)
 
     if kind == "bloom":
-        pos = staged.select(F.explode(arr).alias("pos"), F.col("__w"))
         words = (
             pos.select(
                 F.shiftrightunsigned("pos", 6).alias("cell"),
@@ -229,21 +213,18 @@ def _job_cells(df: DataFrame, j: int, job: SketchJob) -> DataFrame:
 
     if kind in ("cbloom", "cms"):
         if kind == "cms":
-            cellcol = staged.select(
-                F.posexplode(arr).alias("i", "pos"), F.col("__w")
-            ).select(
-                (F.col("i").cast("bigint") * m + F.col("pos")).alias("cell"),
-                F.col("__w"),
+            cellcol = pos.select(
+                (F.col("__i") * m + F.col("pos")).alias("cell"), F.col("__w")
             )
         else:
-            cellcol = staged.select(F.explode(arr).alias("cell"), F.col("__w"))
+            cellcol = pos.select(F.col("pos").alias("cell"), F.col("__w"))
         cells = cellcol.groupBy("cell").agg(F.sum("__w").alias("cnt"))
         return cells.select(sk, "cell", nul.alias("vmax"), nul.alias("vor"), "cnt")
 
     # tdbloom / tdcbloom (SoA: counter rides in cnt, tick in vmax)
     cells = (
-        staged.select(
-            F.explode(arr).alias("cell"), F.col("__tick").alias("v"), F.col("__w")
+        pos.select(
+            F.col("pos").alias("cell"), F.col("__tick").alias("v"), F.col("__w")
         )
         .groupBy("cell")
         .agg(F.max("v").alias("vmax"), F.sum("__w").alias("cnt"))
