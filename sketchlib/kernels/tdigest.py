@@ -154,34 +154,47 @@ def _k1(q: np.ndarray | float, compression: float):
 def _cluster(
     means: np.ndarray, weights: np.ndarray, compression: float
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Greedy left-to-right re-cluster under the k1 scale-function limit."""
+    """Greedy left-to-right re-cluster under the k1 scale-function limit.
+
+    Vectorized: the absorb condition ``k1(q_right) − k1(q_left) ≤ 1`` is
+    monotone in the cumulative weight, so each cluster's right boundary is
+    the last sorted point whose cumulative weight stays ≤ the k1-inverse
+    limit ``total · q`` where ``k1(q) = k1(q_left) + 1`` — one searchsorted
+    per OUTPUT centroid (O(δ) steps) instead of a Python loop per input
+    point (the r5 shape cost ~1 s per 600 k ingested values; the flush is
+    the t-digest hot path).  Same greedy clusters; centroid means are exact
+    weighted means (float rounding may differ from the old incremental
+    update by ~1 ulp, within the published rank-error bound either way)."""
     if not means.size:
         return means, weights
     order = np.argsort(means, kind="stable")
     means = means[order]
     weights = weights[order]
-    total = weights.sum()
+    total = float(weights.sum())
+    csum = np.cumsum(weights)  # cumulative weight THROUGH each point
+    k_max = _k1(1.0, compression)
 
     out_m: list[float] = []
     out_w: list[float] = []
-    cur_m = float(means[0])
-    cur_w = float(weights[0])
-    w_so_far = 0.0  # weight fully emitted before current cluster
-    k_left = _k1(0.0, compression)
-    for i in range(1, means.size):
-        w = float(weights[i])
-        q_right = (w_so_far + cur_w + w) / total
-        if _k1(q_right, compression) - k_left <= 1.0:
-            # absorb
-            cur_m += (float(means[i]) - cur_m) * w / (cur_w + w)
-            cur_w += w
+    i = 0
+    n = means.size
+    w_so_far = 0.0
+    while i < n:
+        k_limit = _k1(w_so_far / total, compression) + 1.0
+        if k_limit >= k_max:
+            j = n - 1  # tail cluster absorbs everything left
         else:
-            out_m.append(cur_m)
-            out_w.append(cur_w)
-            w_so_far += cur_w
-            k_left = _k1(w_so_far / total, compression)
-            cur_m = float(means[i])
-            cur_w = w
-    out_m.append(cur_m)
-    out_w.append(cur_w)
+            # k1 inverse: q = (sin(2π·k/δ) + 1) / 2
+            w_max = total * 0.5 * (
+                math.sin(2.0 * math.pi * k_limit / compression) + 1.0
+            )
+            # last point whose through-weight stays within the limit;
+            # every cluster takes at least its first point
+            j = max(int(np.searchsorted(csum, w_max, side="right")) - 1, i)
+        seg_w = weights[i : j + 1]
+        cw = float(seg_w.sum())
+        out_m.append(float((means[i : j + 1] * seg_w).sum() / cw))
+        out_w.append(cw)
+        w_so_far += cw
+        i = j + 1
     return np.asarray(out_m), np.asarray(out_w)

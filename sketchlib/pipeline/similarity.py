@@ -181,6 +181,7 @@ def build_srp_index(
     vec_col: str = "embedding",
     planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> dict:
     """Persist an SRP-LSH ANN index: the corpus written as parquet
     PARTITIONED BY the SRP bucket, so a probe reads only its probed buckets'
@@ -190,8 +191,8 @@ def build_srp_index(
     written to ``path/_srp_meta`` (via Spark, so hdfs://... / s3a://... index
     locations work; underscore-prefixed paths are invisible to the parquet
     reader)."""
-    first = df.select(vec_col).first()
-    dim = len(first[0])
+    if dim is None:  # pass dim when known — skips a whole Spark job
+        dim = len(df.select(vec_col).first()[0])
     spark = df.sparkSession
     (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

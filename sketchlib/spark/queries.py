@@ -228,7 +228,29 @@ def q_cbloom_sql_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     est = cbloom_sql_counts(cells, exact, cspec, "user_id")
-    ckern, _ = build_sketch(events, cspec, key="user_id", prehash=True)
+    # prehash-kernel reference build WITHOUT a second scan: the per-key
+    # exact counts above are the sufficient statistic for a +1-add cbloom
+    # (per-cell result is min(total_adds, cap) in any order), so feed the
+    # kernel's own update_hashes the JVM-computed xxhash64 lanes repeated
+    # per count — the same hash family and scatter code path the
+    # distributed prehash build runs, minus the partial/merge machinery
+    # (which tests/test_spark_agg.py covers).  Collect is key-cardinality-
+    # sized (the same bound as the cell state), never event-sized.
+    from sketchlib import mmh3
+    from sketchlib.kernels import CountingBloomFilter
+    from sketchlib.spark.prehash import prehash_pair
+
+    h1, h2 = prehash_pair(F.col("user_id"))
+    lanes = exact.select(
+        h1.alias("h1"), h2.alias("h2"), "cnt_exact"
+    ).collect()
+    reps = np.array([r["cnt_exact"] for r in lanes], dtype=np.int64)
+    ckern = CountingBloomFilter(cspec)
+    if lanes:
+        ckern.update_hashes(
+            np.repeat(mmh3.as_u64(np.array([r["h1"] for r in lanes], dtype=np.int64)), reps),
+            np.repeat(mmh3.as_u64(np.array([r["h2"] for r in lanes], dtype=np.int64)), reps),
+        )
     c_ident = cbloom_from_cells(cells, cspec).serialize() == ckern.serialize()
     out = (
         exact.join(est, "user_id")
@@ -1579,8 +1601,10 @@ def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # planes=4 → 16 bucket dirs: the carrier's cost is dominated by
         # directory count in the partitioned writes, and the equality
-        # properties checked here are planes-independent (r2 VERDICT #5)
-        build_srp_index(emb, f"{tmp}/srp", planes=4, seed=7)
+        # properties checked here are planes-independent (r2 VERDICT #5).
+        # dim passed from the query vectors — skips the builder's first() job
+        dim = len(next(iter(queries.values())))
+        build_srp_index(emb, f"{tmp}/srp", planes=4, seed=7, dim=dim)
         srp_idx = {(q, n) for q, n, _ in lsh_ann_topk_indexed(spark, f"{tmp}/srp", queries, k=5)}
         srp_fly = {(q, n) for q, n, _ in lsh_ann_topk(emb, queries, k=5, planes=4, seed=7)}
         n_cells = 8
@@ -2061,7 +2085,10 @@ def q_archbloom_fleet_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="sketchlib_fleet_gate_")
     try:
         out_dir = os.path.join(tmp, "filters")
-        fleet_df.write.format("archbloom").mode("overwrite").save(out_dir)
+        # one writer task for the 2-row fleet frame: each partition costs a
+        # Python data-source worker spin-up, and createDataFrame spreads 2
+        # rows over several partitions
+        fleet_df.coalesce(1).write.format("archbloom").mode("overwrite").save(out_dir)
         fleet = spark.read.format("archbloom").load(out_dir)
         meta = fleet.select("name", "kind", "nbytes").collect()
         fleet_ok = (

@@ -313,3 +313,40 @@ def test_prereduce_builds_byte_identical_family(spark, kdf):
         build_tdbloom_sql(kdf, tspec, "k", ts="ts", prereduce=True).serialize()
         == build_tdbloom_sql(kdf, tspec, "k", ts="ts").serialize()
     )
+
+
+def test_tdcbloom_cells_from_lanes_groupby_key(spark, kdf):
+    """Cells built from a groupBy(key) per-key lane frame (count + max tick
+    per key) must equal the direct tdcbloom_cell_rows build — the carrier
+    shape q_tdcbloom_windowed_counts uses so the cell build costs no extra
+    pass over the data."""
+    from sketchlib.spark.bloom_sql import (
+        _tick_col,
+        tdcbloom_cell_rows,
+        tdcbloom_cells_from_lanes,
+    )
+    from sketchlib.spark.prehash import prehash_pair
+    from sketchlib.specs import TdCBloomSpec
+
+    spec = TdCBloomSpec(
+        3000, 0.01, timeout=7 * 86400, counter_bits=16, start_time=1767225600
+    )
+    h1, h2 = prehash_pair(F.col("k"))
+    per_key = (
+        kdf.filter("k is not null")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("__w"),
+            F.max(_tick_col(spec, "ts")).alias("__t"),
+        )
+        .select(h1.alias("__h1"), h2.alias("__h2"), "__t", "__w")
+    )
+    got = {
+        (r["pos"], r["cnt"], r["tick"])
+        for r in tdcbloom_cells_from_lanes(per_key, spec).collect()
+    }
+    want = {
+        (r["pos"], r["cnt"], r["tick"])
+        for r in tdcbloom_cell_rows(kdf, spec, "k", ts="ts", prereduce=True).collect()
+    }
+    assert got == want

@@ -117,3 +117,30 @@ def test_spark_fit_and_predict():
         ).collect()
     ]
     assert d[2] == pytest.approx(0.980581, abs=1e-5)
+
+
+@pytest.mark.spark
+def test_split_fit_equals_filtered_fits():
+    """fit_gaussian_nb_split must reproduce fit_gaussian_nb over each
+    filtered split exactly (one groupBy(split, label) pass vs N scans)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.ml.gaussiannb import fit_gaussian_nb_split
+    from sketchlib.spark import get_spark
+
+    spark = get_spark("gnb-split-test", cpus=4, shuffle_partitions=4)
+    pdf = [
+        (float(a), float(b), int(c), i) for i, ((a, b), c) in enumerate(zip(X, Y))
+    ]
+    df = spark.createDataFrame(pdf, "f0 double, f1 double, label int, rid int")
+    half = F.pmod(F.xxhash64(F.col("rid")), F.lit(2))
+    halves = fit_gaussian_nb_split(df, "label", ["f0", "f1"], half)
+    assert set(halves) == {0, 1}
+    for hv in (0, 1):
+        direct = fit_gaussian_nb(df.filter(half == hv), "label", ["f0", "f1"])
+        m = halves[hv]
+        assert m.labels == direct.labels
+        np.testing.assert_allclose(m.count, direct.count)
+        np.testing.assert_allclose(m.mean, direct.mean, atol=1e-12)
+        np.testing.assert_allclose(m.var, direct.var, atol=1e-12)
+        assert m.n_samples == direct.n_samples
