@@ -2089,7 +2089,9 @@ def q_archbloom_fleet_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Python data-source worker spin-up, and createDataFrame spreads 2
         # rows over several partitions
         fleet_df.coalesce(1).write.format("archbloom").mode("overwrite").save(out_dir)
-        fleet = spark.read.format("archbloom").load(out_dir)
+        # cache the fleet frame: the meta check and import_merged otherwise
+        # each run the Python data-source reader (one job apiece)
+        fleet = spark.read.format("archbloom").load(out_dir).cache()
         meta = fleet.select("name", "kind", "nbytes").collect()
         fleet_ok = (
             len(meta) == 2
@@ -2098,6 +2100,7 @@ def q_archbloom_fleet_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             and all(r["nbytes"] == spec.nbytes for r in meta)
         )
         merged = import_merged(fleet, kind="bloom")
+        fleet.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # key-sized frame consumed twice (no-false-negative probe + the output
