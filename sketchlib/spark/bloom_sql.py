@@ -193,11 +193,29 @@ def _staged_positions(
         h2.alias("__h2"),
         *[c.alias(name) for name, c in extra.items()],
     )
-    return staged.select(
+    # stage the wrapped ladder value g_i separately from the -1-quirk +
+    # modulus: umod/when reference their argument 2x each, so inlining
+    # makes every position embed ~4 copies of the wrap-add tree — staging
+    # g_i keeps each projection's trees ~3x smaller (driver-side analysis
+    # is linear in total nodes; runtime codegen is identical since
+    # CollapseProject keeps multi-referenced non-cheap aliases as locals)
+    g_staged = staged.select(
         *[
-            _pos_expr(F.col("__h1"), F.col("__h2"), i, m).alias(f"__p{i}")
+            (
+                F.col("__h1")
+                if i == 0
+                else _wrap_add(F.col("__h1"), _wrap_mul_const(F.col("__h2"), i))
+            ).alias(f"__g{i}")
             for i in range(k)
         ],
+        *[F.col(name) for name in extra],
+    )
+
+    def _quirk_mod(g: Column) -> Column:
+        return _umod(F.when(g == -1, F.lit(0)).otherwise(g), m)
+
+    return g_staged.select(
+        *[_quirk_mod(F.col(f"__g{i}")).alias(f"__p{i}") for i in range(k)],
         *[F.col(name) for name in extra],
     )
 

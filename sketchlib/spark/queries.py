@@ -2085,10 +2085,11 @@ def q_archbloom_fleet_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="sketchlib_fleet_gate_")
     try:
         out_dir = os.path.join(tmp, "filters")
-        # one writer task for the 2-row fleet frame: each partition costs a
-        # Python data-source worker spin-up, and createDataFrame spreads 2
-        # rows over several partitions
-        fleet_df.coalesce(1).write.format("archbloom").mode("overwrite").save(out_dir)
+        # NOTE: measured, counter-intuitive — coalesce(1) before this write
+        # costs ~4.4 s vs ~0.8 s plain (the single-partition python
+        # data-source writer path is pathologically slower here), so the
+        # 2-row frame is written as-is
+        fleet_df.write.format("archbloom").mode("overwrite").save(out_dir)
         # cache the fleet frame: the meta check and import_merged otherwise
         # each run the Python data-source reader (one job apiece)
         fleet = spark.read.format("archbloom").load(out_dir).cache()

@@ -226,3 +226,55 @@ def test_unioned_state_tables_merge_per_shard(spark, docs):
     # and no false negatives against the true member set either way
     member_ids = {r["id"] for r in members.collect()}
     assert all(got_union[m] for m in member_ids)
+
+
+def test_skewed_hot_key_probe(spark):
+    """Zipf-hot stress (r5 verdict #6): 90% of build rows carry ONE key, so
+    its shard's build group holds ~90% of the data.  The mitigation is
+    structural — the hot shard's STATE is still one fixed-size bitmap
+    (bounded by the spec's m, not by row count; the C reference is likewise
+    insensitive to key skew, src/bloom.c hashes one element at a time) and
+    the per-shard kernel ingest is vectorized — so the skewed build must
+    complete within the same order of wall as a uniform one, answer exactly
+    (p=1e-6 ≈ no false positives at this scale), and keep the routed
+    (no-broadcast) plan."""
+    import time
+
+    n = 50_000
+    hot = spark.range(int(n * 0.9)).select(F.lit("hot-key").alias("k"))
+    cold = spark.range(int(n * 0.1)).select(
+        F.concat(F.lit("cold-"), F.col("id")).alias("k")
+    )
+    skewed = hot.unionByName(cold)
+    uniform = spark.range(n).select(
+        F.concat(F.lit("u-"), F.col("id")).alias("k")
+    )
+    spec = BloomSpec(60_000, 1e-6)
+    probes = (
+        spark.range(200)
+        .select(F.concat(F.lit("cold-"), F.col("id")).alias("k"))
+        .unionByName(spark.range(1).select(F.lit("hot-key").alias("k")))
+        .unionByName(
+            spark.range(200).select(F.concat(F.lit("miss-"), F.col("id")).alias("k"))
+        )
+    )
+
+    def run(df):
+        t0 = time.perf_counter()
+        states = build_sharded_states(df, "k", spec, n_shards=8)
+        probed = probe_sharded(states, probes, "k", spec=spec, n_shards=8)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        got = {r["k"]: r["hit"] for r in probed.collect()}
+        return time.perf_counter() - t0, plan, got
+
+    dt_uniform, _, _ = run(uniform)
+    dt_skewed, plan, got = run(skewed)
+    # exactness: every present key found, no false positives at this scale
+    assert got["hot-key"] is True
+    assert all(got[f"cold-{i}"] for i in range(200))
+    assert not any(got[f"miss-{i}"] for i in range(200))
+    # routed, not broadcast
+    assert "FlatMapCoGroupsInArrow" in plan and "BroadcastExchange" not in plan
+    # hot shard is one task's bounded state, not a blowup: same order of wall
+    # (generous 5x bound — this is a structural guarantee, not a race)
+    assert dt_skewed <= 5 * dt_uniform + 2.0, (dt_skewed, dt_uniform)
