@@ -154,7 +154,8 @@ class TdBloomFilter:
     def lookup_or_add(self, data, offsets, as_of: int) -> np.ndarray:
         """Fresh membership as-of T, stamping every probed element at T
         (declared-only tdbloom_lookup_or_add, src/tdbloom.h): returns
-        was-fresh bools; probed keys are (re)stamped regardless, like
+        WAS-ALREADY-PRESENT bools (True = the key read as fresh-present
+        before this call); probed keys are (re)stamped regardless, like
         bloom_lookup_or_add's unconditional insert."""
         present = self.contains(data, offsets, as_of)
         self.update(

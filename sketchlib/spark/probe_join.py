@@ -173,15 +173,26 @@ def _deserialize(spec_json: str, blob: bytes):
     return KERNEL_BY_KIND[spec.kind].deserialize(spec, _unpack_state(blob))
 
 
+_STATE_CACHE_BYTES = 0  # running total — not recomputed per probe call
+
+
 def _resolve_state(spec_json: str, blob: bytes):
+    global _STATE_CACHE_BYTES
     key = (spec_json, hashlib.sha256(blob).hexdigest())
     hit = _STATE_CACHE.get(key)
     if hit is None:
-        used = sum(nb for _, nb in _STATE_CACHE.values())
-        if used + len(blob) > _STATE_CACHE_MAX_BYTES:
-            _STATE_CACHE.clear()
-        hit = (_deserialize(spec_json, blob), len(blob))
+        kernel = _deserialize(spec_json, blob)
+        nb = len(blob)
+        if nb > _STATE_CACHE_MAX_BYTES:
+            return kernel  # over-cap blob: never cached (r5 advice)
+        # evict oldest-first (dict preserves insertion order) instead of
+        # clearing wholesale
+        while _STATE_CACHE and _STATE_CACHE_BYTES + nb > _STATE_CACHE_MAX_BYTES:
+            old_key = next(iter(_STATE_CACHE))
+            _STATE_CACHE_BYTES -= _STATE_CACHE.pop(old_key)[1]
+        hit = (kernel, nb)
         _STATE_CACHE[key] = hit
+        _STATE_CACHE_BYTES += nb
     return hit[0]
 
 
@@ -269,9 +280,23 @@ def probe_sharded(
     spec_json = spec.to_json()
     as_of_i = int(as_of) if as_of is not None else 0
 
+    n_shards_expected = n_shards
+
     def probe(l: pa.Table, r: pa.Table) -> pa.Table:
         n = l.num_rows
         passthrough = l.select(pass_names)
+        if r.num_rows:
+            # guard against a caller-supplied n_shards that differs from the
+            # build's: mismatched routing silently probes the wrong shard
+            # (false negatives / zero counts), so fail loudly instead
+            built_with = int(r.column("n_shards")[0].as_py())
+            if built_with != n_shards_expected:
+                raise ValueError(
+                    f"probe_sharded: states were built with n_shards="
+                    f"{built_with} but the probe is routing with "
+                    f"n_shards={n_shards_expected} — pass the build's shard "
+                    "count (or persist and reload the state frame)"
+                )
         if op == "contains":
             out = np.zeros(n, dtype=bool)
             res_pa = pa.bool_()

@@ -276,6 +276,12 @@ def _make_dedup_fn(spec_json: str, out_cols: list[str], reset_pct: float | None)
             kernel = KERNEL_BY_KIND[spec.kind].deserialize(spec, bytes(blob))
         else:
             kernel, n_emitted = KERNEL_BY_KIND[spec.kind](spec), 0
+        # horizon misconfiguration guard state (see below): evaluate on the
+        # FIRST non-empty chunk only — state.exists reflects the batch
+        # start, so a later all-past-horizon chunk of the same first batch
+        # must not re-trigger after earlier chunks were legitimately
+        # admitted (r5 advice)
+        first_chunk = not state.exists
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -302,7 +308,7 @@ def _make_dedup_fn(spec_json: str, out_cols: list[str], reset_pct: float | None)
                 # (horizon = max_time seconds after epoch 1970), a silent
                 # total no-op.  Fail loudly on that instead.
                 horizon = int(spec.start_time) + int(spec.max_time)
-                if not state.exists and int(ts.min()) > horizon:
+                if first_chunk and int(ts.min()) > horizon:
                     raise ValueError(
                         f"streaming_dedup: first event time {int(ts.min())} "
                         f"is already past the tdbloom timer horizon "
@@ -310,8 +316,12 @@ def _make_dedup_fn(spec_json: str, out_cols: list[str], reset_pct: float | None)
                         f"max_time={spec.max_time}) — the filter would never "
                         "suppress anything; set spec.start_time near the "
                         "stream's epoch and/or a larger timeout (its timer "
-                        "width bounds filter life)"
+                        "width bounds filter life).  NOTE: a fresh-checkpoint "
+                        "restart of a long-lived stream lands here too — "
+                        "resume from the existing checkpoint, or re-anchor "
+                        "spec.start_time for the new epoch"
                     )
+                first_chunk = False
                 key_arr = keys.to_numpy()
                 seen = np.empty(len(pdf), dtype=bool)
                 order = np.argsort(ts, kind="stable")
@@ -327,7 +337,7 @@ def _make_dedup_fn(spec_json: str, out_cols: list[str], reset_pct: float | None)
                     sub = np.concatenate(
                         [data[offsets[j]: offsets[j + 1]] for j in idx]
                     ) if len(idx) else np.empty(0, dtype=np.uint8)
-                    was_fresh = kernel.lookup_or_add(
+                    was_present = kernel.lookup_or_add(
                         sub, sub_off, as_of=int(ts[idx[0]])
                     )
                     # tdbloom's lookup_or_add probes the whole group
@@ -336,7 +346,7 @@ def _make_dedup_fn(spec_json: str, out_cols: list[str], reset_pct: float | None)
                     # not-present twice; suppress later same-group repeats
                     # explicitly for exact test-and-set semantics
                     dup_in_group = _pd.Series(key_arr[idx]).duplicated().to_numpy()
-                    seen[idx] = was_fresh | dup_in_group
+                    seen[idx] = was_present | dup_in_group
             else:
                 seen = kernel.lookup_or_add(data, offsets)
             fresh = pdf.loc[~seen, out_cols]
